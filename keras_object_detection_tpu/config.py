@@ -1,0 +1,152 @@
+"""Typed configuration layer (net-new component; the reference keeps
+hyperparameters as module-level constants, ref train.py:49-57, yolo_v1.py:741-746).
+
+One dataclass tree covers the five BASELINE.json configs:
+  1. yolov1-tiny 224x224 CPU-runnable end-to-end
+  2. yolov1 full 448x448 Darknet backbone
+  3. batched eval (decode+NMS+mAP)
+  4. data-parallel v5e-8 training
+  5. int8 export + latency bench
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """YOLO grid geometry: S (split size), B (boxes/cell), C (classes)."""
+
+    grid: int = 7
+    num_boxes: int = 2
+    num_classes: int = 20
+
+    @property
+    def cell_depth(self) -> int:
+        return self.num_classes + 5 * self.num_boxes
+
+    @property
+    def output_shape(self) -> Tuple[int, int, int]:
+        return (self.grid, self.grid, self.cell_depth)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "darknet24"  # darknet24 | darknet_tiny | vgg16 | mobilenetv2
+    head: str = "conv"  # conv | gap_dense | flatten_dense
+    image_size: int = 448
+    # bfloat16 activations keep the MXU fed at full rate; params stay f32.
+    compute_dtype: str = "bfloat16"
+    head_dense_units: int = 4960  # ref model.py:100
+    dropout_rate: float = 0.5
+
+    @property
+    def input_shape(self) -> Tuple[int, int, int]:
+        return (self.image_size, self.image_size, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_dir: str = ""
+    val_dir: str = ""
+    test_dir: str = ""
+    batch_size: int = 64
+    shuffle: bool = True
+    drop_remainder: bool = True
+    # Augmentation knobs mirror the reference Albumentations policy
+    # (ref dataset.py:136-146): flip 0.5, ColorJitter defaults,
+    # RandomResizedCrop scale (0.8, 1.0), min bbox visibility 0.1.
+    hflip_prob: float = 0.5
+    color_jitter: Tuple[float, float, float, float] = (0.2, 0.2, 0.2, 0.2)
+    crop_scale: Tuple[float, float] = (0.8, 1.0)
+    crop_ratio: Tuple[float, float] = (0.75, 1.3333333333333333)
+    min_visibility: float = 0.1
+    max_boxes_per_image: int = 64  # static padding bound for on-device encode
+    prefetch: int = 2
+    num_workers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    kind: str = "piecewise_warmup"  # piecewise_warmup | cosine_restarts | constant
+    base_lr: float = 1e-3
+    # piecewise warmup (ref train.py:126-135)
+    warmup_epochs: int = 75
+    mid_epochs: int = 105
+    warmup_target: float = 0.01
+    mid_lr: float = 1e-3
+    final_lr: float = 1e-4
+    # cosine-annealing with warm restarts (ref cosine_annealing.py:6-47)
+    eta_min: float = 0.0
+    t_max: int = 10
+    t_mult: int = 2
+    decay: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 1000
+    optimizer: str = "nadam"  # ref train.py:114; monolith uses adam (yolo_v1.py)
+    schedule: ScheduleConfig = dataclasses.field(default_factory=ScheduleConfig)
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    map_eval_start_epoch: int = 100  # ref train.py:192 gate
+    map_eval_every: int = 10
+    seed: int = 0
+    lambda_coord: float = 5.0
+    lambda_noobj: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes. YOLOv1 only needs data parallelism, but the axes are
+    declared so a model axis can be added without an API break (SURVEY.md §2.2)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1 = all devices
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    conf_threshold: float = 0.4  # ref utils.py:80
+    iou_threshold: float = 0.5
+    map_iou_threshold: float = 0.5
+    max_detections: int = 49  # S*S candidates per image
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+
+def tiny_cpu_config(data_dir: str = "") -> Config:
+    """BASELINE config 1: CPU-runnable tiny model on the 3-class fixture."""
+    return Config(
+        grid=GridConfig(grid=7, num_boxes=2, num_classes=3),
+        model=ModelConfig(backbone="darknet_tiny", head="conv", image_size=224,
+                          compute_dtype="float32"),
+        data=DataConfig(train_dir=data_dir, val_dir=data_dir, test_dir=data_dir,
+                        batch_size=2, drop_remainder=False),
+        train=TrainConfig(epochs=5, optimizer="adam",
+                          schedule=ScheduleConfig(kind="constant", base_lr=1e-3)),
+    )
+
+
+def voc_full_config(train_dir: str = "", val_dir: str = "", test_dir: str = "") -> Config:
+    """BASELINE config 2: full 448x448 Darknet-24 on VOC (S=7, B=2, C=20)."""
+    return Config(
+        grid=GridConfig(grid=7, num_boxes=2, num_classes=20),
+        model=ModelConfig(backbone="darknet24", head="conv", image_size=448),
+        data=DataConfig(train_dir=train_dir, val_dir=val_dir, test_dir=test_dir,
+                        batch_size=64),
+        train=TrainConfig(epochs=1000, optimizer="nadam"),
+    )

@@ -1,0 +1,116 @@
+"""The four-term YOLOv1 loss (parity target: ref yolo_v1/loss.py:100-215).
+
+TPU-native formulation: the reference's ``tf.TensorArray`` loops over the B
+box slots (ref loss.py:126-155) become a single reshape to ``(..., B, 5)``
+plus an argmax/one-hot select — everything is one fused elementwise XLA
+computation over ``(batch, S, S, ...)``, no loops, no dynamic shapes.
+
+Reproduced parity quirks (SURVEY.md §7 "hard parts"):
+- responsible box = argmax IoU vs truth, ties to slot 0 (ref loss.py:136),
+- wh term uses ``sign(p) * sqrt(|p| + 1e-6)`` (ref loss.py:176-178),
+- the object-loss target is the *predicted box's IoU*, not 1
+  (``(pred_iou - pred_conf)^2``, ref loss.py:189),
+- the no-object term penalizes only the selected slot's confidence
+  (ref loss.py:197), not both slots,
+- reduction is a raw ``sum`` over the whole batch (no mean),
+- lambda_coord = 5, lambda_noobj = 0.5 (ref loss.py:115-116).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from keras_object_detection_tpu.core.boxes import iou_cxcywh
+
+
+def yolo_v1_loss_terms(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    num_classes: int,
+    num_boxes: int = 2,
+    lambda_coord: float = 5.0,
+    lambda_noobj: float = 0.5,
+) -> Dict[str, jnp.ndarray]:
+    """Per-term scalars; ``total`` matches the reference loss exactly.
+
+    Args:
+      y_true: ``(batch, S, S, C + 5B)`` grid targets (only box slot 0 used).
+      y_pred: same shape, raw model output.
+    """
+    c = num_classes
+    true_box = y_true[..., c + 1 : c + 5]  # (b,S,S,4)
+    obj = y_true[..., c : c + 1]  # (b,S,S,1)
+    noobj = 1.0 - obj
+
+    pred_rest = y_pred[..., c:]
+    bshape = pred_rest.shape[:-1] + (num_boxes, 5)
+    pred_slots = pred_rest.reshape(bshape)  # (b,S,S,B,5) [conf,x,y,w,h]
+    pred_confs = pred_slots[..., 0]  # (b,S,S,B)
+    pred_boxes = pred_slots[..., 1:5]  # (b,S,S,B,4)
+
+    ious = iou_cxcywh(true_box[..., None, :], pred_boxes)[..., 0]  # (b,S,S,B)
+
+    best = jnp.argmax(ious, axis=-1)  # (b,S,S); tf.argmax ties -> slot 0
+    onehot = jax.nn.one_hot(best, num_boxes, dtype=y_pred.dtype)  # (b,S,S,B)
+    pred_box = jnp.sum(onehot[..., None] * pred_boxes, axis=-2)  # (b,S,S,4)
+    pred_conf = jnp.sum(onehot * pred_confs, axis=-1, keepdims=True)  # (b,S,S,1)
+    # NOTE: no stop_gradient on pred_iou — the reference lets gradients flow
+    # through the IoU term (ref loss.py:189 uses the live IoU tensor).
+    pred_iou = jnp.sum(onehot * ious, axis=-1, keepdims=True)  # (b,S,S,1)
+
+    xy_loss = jnp.sum(obj * jnp.square(true_box[..., 0:2] - pred_box[..., 0:2]))
+    wh_loss = jnp.sum(
+        obj
+        * jnp.square(
+            jnp.sqrt(true_box[..., 2:4])
+            - jnp.sign(pred_box[..., 2:4]) * jnp.sqrt(jnp.abs(pred_box[..., 2:4]) + 1e-6)
+        )
+    )
+    box_loss = xy_loss + wh_loss
+    object_loss = jnp.sum(obj * jnp.square(pred_iou - pred_conf))
+    no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_conf))
+    class_loss = jnp.sum(obj * jnp.square(y_true[..., :c] - y_pred[..., :c]))
+
+    total = lambda_coord * box_loss + object_loss + lambda_noobj * no_object_loss + class_loss
+    return {
+        "box_loss": box_loss,
+        "object_loss": object_loss,
+        "no_object_loss": no_object_loss,
+        "class_loss": class_loss,
+        "total": total,
+    }
+
+
+def yolo_v1_loss(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    num_classes: int,
+    num_boxes: int = 2,
+    lambda_coord: float = 5.0,
+    lambda_noobj: float = 0.5,
+) -> jnp.ndarray:
+    """Scalar YOLOv1 loss, parity twin of ``YoloV1Loss.call`` (ref loss.py:120-215)."""
+    return yolo_v1_loss_terms(
+        y_true, y_pred, num_classes, num_boxes, lambda_coord, lambda_noobj
+    )["total"]
+
+
+class YoloV1Loss:
+    """Callable config-bound loss, mirroring the reference class surface
+    (ref loss.py:100-119): ``loss = YoloV1Loss(num_classes=3); loss(y_true, y_pred)``."""
+
+    def __init__(self, num_classes: int = 20, num_boxes: int = 2,
+                 lambda_coord: float = 5.0, lambda_noobj: float = 0.5):
+        self.num_classes = num_classes
+        self.num_boxes = num_boxes
+        self.lambda_coord = lambda_coord
+        self.lambda_noobj = lambda_noobj
+
+    def __call__(self, y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+        return yolo_v1_loss(
+            y_true, y_pred, self.num_classes, self.num_boxes,
+            self.lambda_coord, self.lambda_noobj,
+        )

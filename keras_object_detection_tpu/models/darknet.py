@@ -1,0 +1,77 @@
+"""Darknet-style YOLOv1 backbones driven by a config table
+(parity target: ref yolo_v1/model.py:36-85).
+
+The table grammar is the reference's (a factual architecture spec from the
+YOLOv1 paper): a tuple is ``(kernel_size, filters, stride, padding)``, ``"M"``
+is a 2x2/2 max-pool, and a list is ``[conv_a, conv_b, num_repeats]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from keras_object_detection_tpu.models.layers import ConvBlock, max_pool_2x2
+
+# 24-conv YOLOv1 architecture (ref model.py:36-55; Redmon et al. 2016).
+ARCHITECTURE_CONFIG: Sequence[Any] = (
+    (7, 64, 2, 3),
+    "M",
+    (3, 192, 1, 1),
+    "M",
+    (1, 128, 1, 0),
+    (3, 256, 1, 1),
+    (1, 256, 1, 0),
+    (3, 512, 1, 1),
+    "M",
+    [(1, 256, 1, 0), (3, 512, 1, 1), 4],
+    (1, 512, 1, 0),
+    (3, 1024, 1, 1),
+    "M",
+    [(1, 512, 1, 0), (3, 1024, 1, 1), 2],
+    (3, 1024, 1, 1),
+    (3, 1024, 2, 1),
+    (3, 1024, 1, 1),
+    (3, 1024, 1, 1),
+)
+
+# Net-new small variant for CPU tests / BASELINE config 1 (224x224 -> 7x7).
+DARKNET_TINY_CONFIG: Sequence[Any] = (
+    (3, 16, 1, 1),
+    "M",
+    (3, 32, 1, 1),
+    "M",
+    (3, 64, 1, 1),
+    "M",
+    (3, 128, 1, 1),
+    "M",
+    (3, 256, 1, 1),
+    "M",
+    (3, 256, 1, 1),
+)
+
+
+class DarknetBackbone(nn.Module):
+    """Walks an architecture table (ref model.py:67-85 ``yolov1_backbone``)."""
+
+    architecture: Sequence[Any] = ARCHITECTURE_CONFIG
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for entry in self.architecture:
+            if isinstance(entry, tuple):
+                k, f, s, p = entry
+                x = ConvBlock(f, k, s, p, dtype=self.dtype)(x, train=train)
+            elif isinstance(entry, str):
+                x = max_pool_2x2(x)
+            else:  # [conv_a, conv_b, repeats]
+                conv_a, conv_b, repeats = entry
+                for _ in range(repeats):
+                    x = ConvBlock(conv_a[1], conv_a[0], conv_a[2], conv_a[3],
+                                  dtype=self.dtype)(x, train=train)
+                    x = ConvBlock(conv_b[1], conv_b[0], conv_b[2], conv_b[3],
+                                  dtype=self.dtype)(x, train=train)
+        return x

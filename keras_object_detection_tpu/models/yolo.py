@@ -1,0 +1,145 @@
+"""YOLOv1 detection heads and the assembled model
+(parity targets: ref yolo_v1/model.py:88-111 ``yolov1`` dense-head variant,
+model.py:218-274 ``YoloV1`` subclassed conv-head model — the "working model"
+per SURVEY.md — and the multi-conv dense variants at model.py:114-150/172-215).
+
+The framework standardizes on the grid-shaped ``(S, S, B*5 + C)`` output; the
+flat head variants reshape internally and can optionally emit flat tensors for
+strict surface parity with the reference's modular scripts (which reshape late
+at ref train.py:208).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from keras_object_detection_tpu.config import Config, GridConfig, ModelConfig
+from keras_object_detection_tpu.models.backbones import BACKBONES
+from keras_object_detection_tpu.models.layers import ConvBlock
+
+
+class ConvHead(nn.Module):
+    """Conv detection head (ref model.py:247-271): Conv1024 3x3 s2 SAME ->
+    BN -> ReLU -> Conv(B*5 + C) 1x1. Output is grid-shaped; the final conv is
+    computed in float32 so detection logits keep full precision."""
+
+    cell_depth: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ConvBlock(1024, 3, strides=2, padding="SAME", dtype=self.dtype)(
+            x, train=train)
+        x = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x
+
+
+class GAPDenseHead(nn.Module):
+    """GAP dense head (ref model.py:97-107): GlobalAvgPool -> Dense(4960) ->
+    BN -> ReLU -> Dense(S*S*depth), reshaped to the grid."""
+
+    grid: int
+    cell_depth: int
+    units: int = 4960
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
+        x = nn.Dense(self.units, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.grid * self.grid * self.cell_depth, dtype=jnp.float32,
+                     param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x.reshape(x.shape[0], self.grid, self.grid, self.cell_depth)
+
+
+class MultiConvDenseHead(nn.Module):
+    """The VGG16/MobileNetV2 variant head (ref model.py:125-148, 183-213):
+    4x Conv1024 (stride 2 on the second) -> Flatten -> Dense stack ->
+    Dropout(0.5) -> Dense(S*S*depth)."""
+
+    grid: int
+    cell_depth: int
+    dense_units: Sequence[int] = (512, 1024)  # vgg16 variant; mnv2 uses (4096,)
+    dropout_rate: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i, stride in enumerate((1, 2, 1, 1)):
+            x = ConvBlock(1024, 3, strides=stride, padding="SAME",
+                          dtype=self.dtype)(x, train=train)
+        x = x.reshape(x.shape[0], -1)  # Flatten
+        for units in self.dense_units:
+            x = nn.Dense(units, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.grid * self.grid * self.cell_depth, dtype=jnp.float32,
+                     param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x.reshape(x.shape[0], self.grid, self.grid, self.cell_depth)
+
+
+HEADS = {"conv", "gap_dense", "flatten_dense"}
+
+
+class YoloV1(nn.Module):
+    """Backbone + head assembly (ref model.py:218-274 surface).
+
+    ``flat_output=True`` reproduces the modular scripts' flat
+    ``(batch, S*S*depth)`` emission (ref model.py:107); default is the
+    grid-shaped working-model layout (ref yolo_v1.py:605).
+    """
+
+    backbone: str = "darknet24"
+    head: str = "conv"
+    grid: int = 7
+    num_classes: int = 20
+    num_boxes: int = 2
+    compute_dtype: Any = jnp.float32
+    head_dense_units: int = 4960
+    flat_output: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        depth = self.num_classes + 5 * self.num_boxes
+        x = images.astype(self.compute_dtype)
+        x = BACKBONES[self.backbone](self.compute_dtype)(x, train=train)
+        if self.head == "conv":
+            out = ConvHead(depth, dtype=self.compute_dtype)(x, train=train)
+        elif self.head == "gap_dense":
+            out = GAPDenseHead(self.grid, depth, units=self.head_dense_units,
+                               dtype=self.compute_dtype)(x, train=train)
+            if self.flat_output:
+                return out.reshape(out.shape[0], -1)
+        elif self.head == "flatten_dense":
+            units = (4096,) if self.backbone == "mobilenetv2" else (512, 1024)
+            out = MultiConvDenseHead(self.grid, depth, dense_units=units,
+                                     dtype=self.compute_dtype)(x, train=train)
+            if self.flat_output:
+                return out.reshape(out.shape[0], -1)
+        else:
+            raise ValueError(f"unknown head {self.head!r}; options: {sorted(HEADS)}")
+        if self.flat_output:
+            return out.reshape(out.shape[0], -1)
+        return out
+
+
+def build_model(config: Config) -> YoloV1:
+    """Build the flagship model from a ``Config`` (the registry entry point)."""
+    m: ModelConfig = config.model
+    g: GridConfig = config.grid
+    return YoloV1(
+        backbone=m.backbone,
+        head=m.head,
+        grid=g.grid,
+        num_classes=g.num_classes,
+        num_boxes=g.num_boxes,
+        compute_dtype=jnp.dtype(m.compute_dtype),
+        head_dense_units=m.head_dense_units,
+    )

@@ -1,0 +1,202 @@
+"""VOC-style mAP@0.5, fully vectorized for TPU (parity target:
+ref yolo_v1/utils.py:280-496 ``mean_average_precision`` / ``MeanAveragePrecision``).
+
+The reference evaluates mAP with nested graph loops — per class, per
+detection, per ground truth — plus a ``DenseHashTable`` and a host
+``tf.py_function(np.trapz)`` escape; it takes minutes ("It takes sometime",
+ref train.py:203). This module replaces all of it with a loop-free formulation
+built on one observation about the reference's greedy matcher:
+
+  Each detection's best ground-truth (argmax IoU within its image, ref
+  utils.py:386-393) does NOT depend on which GTs were already matched. A
+  detection is a true positive iff (a) its best IoU > threshold, and (b) it is
+  the highest-confidence detection whose best-GT is that ground truth (ref
+  utils.py:395-418: later claimants of a matched GT become false positives).
+
+So TP assignment is a ``segment_min`` over detection ranks keyed by (image,
+ground truth), and per-class AP is a cumulative sum + trapezoid — everything a
+single compiled XLA program over padded, fixed-shape inputs. This is the
+">=10x faster on-device eval" path from BASELINE.json.
+
+Reproduced parity details:
+- absent classes contribute AP = 0 to the mean (ref utils.py:334-336),
+- PR curve is prepended with (precision=1, recall=0) (ref utils.py:438-439),
+- AP is the continuous trapezoid integral, not 11-point (ref utils.py:444),
+- epsilon 1e-6 in both recall and precision denominators,
+- detection ordering: image-major accumulation then stable conf-descending
+  sort, same tie behavior as the reference's accumulate-then-sort.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_object_detection_tpu.core.boxes import iou_cxcywh
+from keras_object_detection_tpu.core.grid import decode_grid
+from keras_object_detection_tpu.ops.nms import batched_non_max_suppression
+
+
+@partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))
+def mean_average_precision(
+    true_boxes: jnp.ndarray,
+    true_valid: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """mAP@iou_threshold over padded per-image box sets.
+
+    Args:
+      true_boxes: ``(I, G, 6)`` ground truths per image,
+        ``[class_idx, confidence, cx, cy, w, h]`` (decode_grid/NMS layout).
+      true_valid: ``(I, G)`` bool mask of real GT rows.
+      pred_boxes: ``(I, D, 6)`` detections per image (NMS-compacted).
+      pred_valid: ``(I, D)`` bool mask of real detections.
+      num_classes: C; classes are ``0..C-1`` float ids in column 0.
+
+    Returns:
+      Scalar mAP, the mean of per-class APs (absent classes count as 0).
+    """
+    num_images, max_gt, _ = true_boxes.shape
+    _, max_det, _ = pred_boxes.shape
+    eps = 1e-6
+
+    det_cls = pred_boxes[..., 0]  # (I, D)
+    det_conf = jnp.where(pred_valid, pred_boxes[..., 1], -jnp.inf)
+    gt_cls = true_boxes[..., 0]  # (I, G)
+
+    # --- Per-detection best ground truth within its image & class ----------
+    # (I, D, G) IoU of every detection against every GT of the same image.
+    iou = iou_cxcywh(pred_boxes[:, :, None, 2:6], true_boxes[:, None, :, 2:6])[..., 0]
+    match_ok = true_valid[:, None, :] & (gt_cls[:, None, :] == det_cls[:, :, None])
+    iou = jnp.where(match_ok, iou, -1.0)
+    best_iou = jnp.max(iou, axis=-1)  # (I, D)
+    best_gt = jnp.argmax(iou, axis=-1)  # (I, D); first-max = ref strict-greater scan
+
+    # --- Global confidence rank (image-major stable sort = ref accumulate order)
+    flat_conf = det_conf.reshape(-1)  # (I*D,)
+    order = jnp.argsort(-flat_conf, stable=True)
+    rank_of = jnp.argsort(order, stable=True)  # rank per flat det index
+    rank = rank_of.reshape(num_images, max_det)
+
+    # --- First-claimant-wins TP assignment via segment_min -----------------
+    cand = pred_valid & (best_iou > iou_threshold)
+    seg = jnp.where(
+        cand,
+        jnp.arange(num_images)[:, None] * max_gt + best_gt,
+        num_images * max_gt,  # park non-candidates in a spare segment
+    ).reshape(-1)
+    first_rank = jax.ops.segment_min(
+        rank.reshape(-1), seg, num_segments=num_images * max_gt + 1
+    )
+    tp = cand & (rank == first_rank[seg.reshape(num_images, max_det)].reshape(
+        num_images, max_det))
+    fp = pred_valid & ~tp
+
+    # --- Per-class PR curves over the globally sorted detection stream -----
+    tp_sorted = tp.reshape(-1)[order].astype(jnp.float32)  # (N,)
+    fp_sorted = fp.reshape(-1)[order].astype(jnp.float32)
+    cls_sorted = det_cls.reshape(-1)[order]
+    valid_sorted = pred_valid.reshape(-1)[order]
+
+    class_ids = jnp.arange(num_classes, dtype=det_cls.dtype)
+
+    gt_cls_flat = jnp.where(true_valid, gt_cls, -1.0).reshape(-1)
+    total_true = jnp.sum(
+        gt_cls_flat[None, :] == class_ids[:, None], axis=-1
+    ).astype(jnp.float32)  # (C,)
+
+    in_class = (cls_sorted[None, :] == class_ids[:, None]) & valid_sorted[None, :]  # (C, N)
+    tp_cum = jnp.cumsum(tp_sorted[None, :] * in_class, axis=-1)  # (C, N)
+    fp_cum = jnp.cumsum(fp_sorted[None, :] * in_class, axis=-1)
+
+    recalls = tp_cum / (total_true[:, None] + eps)  # (C, N)
+    # Rows where a detection is not in the class repeat the previous cumsums,
+    # so they repeat the previous PR point and contribute zero area — no
+    # compaction needed. The one exception is the prefix before a class's
+    # first detection (cumsums still 0): there the point must equal the
+    # prepended (r=0, p=1) start (ref utils.py:438-439), so clamp
+    # zero-denominator rows to precision 1.
+    precisions = jnp.where(
+        tp_cum + fp_cum > 0, tp_cum / (tp_cum + fp_cum + eps), 1.0)
+    recalls = jnp.concatenate([jnp.zeros((num_classes, 1)), recalls], axis=-1)
+    precisions = jnp.concatenate([jnp.ones((num_classes, 1)), precisions], axis=-1)
+
+    ap = jnp.sum(
+        (recalls[:, 1:] - recalls[:, :-1])
+        * (precisions[:, 1:] + precisions[:, :-1])
+        / 2.0,
+        axis=-1,
+    )
+    ap = jnp.where(total_true > 0, ap, 0.0)  # absent class -> AP 0 (ref utils.py:334)
+    return jnp.mean(ap)
+
+
+class MeanAveragePrecision:
+    """Streaming mAP accumulator (parity target: ref utils.py:459-496).
+
+    Mirrors the reference surface — ``update_state(y_true, y_pred)`` /
+    ``result()`` / ``reset_states()`` — but the per-batch work (grid decode +
+    NMS on predictions AND ground truths, the reference's quirk at ref
+    utils.py:480) is one compiled on-device program; only the padded box sets
+    are staged out and accumulated host-side.
+    """
+
+    def __init__(self, num_classes: int, num_boxes: int = 2, grid: int = 7,
+                 iou_threshold: float = 0.5, conf_threshold: float = 0.4,
+                 map_iou_threshold: float = 0.5):
+        self._num_classes = num_classes
+        self._num_boxes = num_boxes
+        self._grid = grid
+        self._iou_threshold = iou_threshold
+        self._conf_threshold = conf_threshold
+        self._map_iou_threshold = map_iou_threshold
+        self._update = jax.jit(self._make_update())
+        self.reset_states()
+
+    def _make_update(self):
+        def update(y_true, y_pred):
+            tb = decode_grid(y_true, self._num_classes, self._num_boxes, self._grid)
+            pb = decode_grid(y_pred, self._num_classes, self._num_boxes, self._grid)
+            tboxes, tvalid = batched_non_max_suppression(
+                tb, self._iou_threshold, self._conf_threshold)
+            pboxes, pvalid = batched_non_max_suppression(
+                pb, self._iou_threshold, self._conf_threshold)
+            return tboxes, tvalid, pboxes, pvalid
+
+        return update
+
+    def reset_states(self) -> None:
+        self._true: list = []
+        self._tvalid: list = []
+        self._pred: list = []
+        self._pvalid: list = []
+
+    def update_state(self, y_true, y_pred) -> None:
+        """Accumulate one batch of grid-shaped targets and predictions."""
+        tboxes, tvalid, pboxes, pvalid = self._update(
+            jnp.asarray(y_true), jnp.asarray(y_pred))
+        self._true.append(np.asarray(tboxes))
+        self._tvalid.append(np.asarray(tvalid))
+        self._pred.append(np.asarray(pboxes))
+        self._pvalid.append(np.asarray(pvalid))
+
+    def result(self) -> float:
+        if not self._true:
+            return 0.0
+        return float(
+            mean_average_precision(
+                jnp.asarray(np.concatenate(self._true)),
+                jnp.asarray(np.concatenate(self._tvalid)),
+                jnp.asarray(np.concatenate(self._pred)),
+                jnp.asarray(np.concatenate(self._pvalid)),
+                self._num_classes,
+                self._map_iou_threshold,
+            )
+        )

@@ -1,0 +1,86 @@
+"""Fixed-shape, class-aware greedy NMS (parity target: ref yolo_v1/utils.py:79-149).
+
+The reference implements NMS as an O(N^2) ``tf.while_loop`` over a shrinking
+``TensorArray`` — data-dependent shapes that cannot compile for TPU. Here the
+same greedy algorithm is a static-shape program:
+
+1. one (N, N) pairwise-IoU matrix (VPU-friendly, N = S*S = 49),
+2. a stable confidence-descending sort,
+3. a ``fori_loop`` over the N sorted slots that suppresses later same-class
+   boxes with IoU >= threshold — only vector ops per step, and the surviving
+   set is exactly the reference's greedy keep set.
+
+Outputs are padded to N with a validity mask; kept boxes are compacted to the
+front in chosen (confidence-descending) order, matching the reference's output
+ordering.
+
+Suppression rule parity (ref utils.py:108): a box is dropped iff it has the
+same class as a kept higher-confidence box AND IoU >= iou_threshold (the
+reference keeps when ``class differs OR iou < threshold``). The confidence
+filter is strict ``conf > conf_threshold`` (ref utils.py:95).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from keras_object_detection_tpu.core.boxes import pairwise_iou_cxcywh
+
+
+def non_max_suppression(
+    boxes: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    conf_threshold: float = 0.4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy class-aware NMS over one image's decoded boxes.
+
+    Args:
+      boxes: ``(N, 6)`` rows of ``[class_idx, confidence, cx, cy, w, h]``
+        (the output of ``core.grid.decode_grid`` for one image).
+
+    Returns:
+      ``(kept_boxes, valid)``: ``(N, 6)`` with surviving boxes compacted to the
+      front in confidence-descending order, and an ``(N,)`` bool mask of real
+      rows. ``kept_boxes[valid]`` equals the reference's NMS output.
+    """
+    n = boxes.shape[0]
+    conf = boxes[:, 1]
+
+    # Stable conf-descending sort; ties keep original (grid-scan) order like
+    # np.argsort(-conf, kind='stable') in the reference's numpy twin.
+    order = jnp.argsort(-conf, stable=True)
+    sb = boxes[order]  # (N, 6) sorted
+    alive = sb[:, 1] > conf_threshold  # strict
+
+    iou = pairwise_iou_cxcywh(sb[:, 2:6], sb[:, 2:6])  # (N, N)
+    same_class = sb[:, 0][:, None] == sb[:, 0][None, :]
+    later = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]  # j strictly after i
+    # suppresses[i, j]: if i survives, it removes j.
+    suppresses = later & same_class & (iou >= iou_threshold)
+
+    def body(i, alive):
+        return alive & ~(alive[i] & suppresses[i])
+
+    alive = jax.lax.fori_loop(0, n, body, alive)
+
+    # Compact kept rows to the front, preserving sorted order.
+    compact = jnp.argsort(~alive, stable=True)
+    return sb[compact], alive[compact]
+
+
+def batched_non_max_suppression(
+    boxes: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    conf_threshold: float = 0.4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vmapped NMS over a batch: ``(B, N, 6) -> ((B, N, 6), (B, N))``.
+
+    The reference loops Python-side over the batch calling graph NMS per image
+    (ref utils.py:474-480); here the whole batch is one compiled program.
+    """
+    return jax.vmap(
+        lambda b: non_max_suppression(b, iou_threshold, conf_threshold)
+    )(boxes)

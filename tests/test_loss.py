@@ -1,0 +1,69 @@
+"""Loss parity vs the executed reference YoloV1Loss (ref loss.py:100-215),
+including the exact smoke tensors from ref loss.py:218-237, plus gradient
+sanity (the reference trains through sign/sqrt/abs at w,h <= 0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_object_detection_tpu.losses import YoloV1Loss, yolo_v1_loss, yolo_v1_loss_terms
+
+
+def test_loss_matches_reference_goldens(goldens):
+    for case in goldens["loss"]:
+        y_true = jnp.asarray(case["y_true"], dtype=jnp.float32)
+        y_pred = jnp.asarray(case["y_pred"], dtype=jnp.float32)
+        got = float(yolo_v1_loss(y_true, y_pred, case["num_classes"],
+                                 case["num_boxes"]))
+        assert np.isclose(got, case["loss"], rtol=1e-4), (
+            f"loss mismatch: got {got}, want {case['loss']}")
+
+
+def test_loss_class_surface(goldens):
+    case = goldens["loss"][0]
+    loss = YoloV1Loss(num_classes=case["num_classes"], num_boxes=case["num_boxes"])
+    got = float(loss(jnp.asarray(case["y_true"]), jnp.asarray(case["y_pred"])))
+    assert np.isclose(got, case["loss"], rtol=1e-4)
+
+
+def test_loss_terms_sum_to_total():
+    rng = np.random.RandomState(1)
+    y_true = jnp.asarray(rng.uniform(0, 1, (2, 7, 7, 13)), dtype=jnp.float32)
+    y_pred = jnp.asarray(rng.uniform(-0.5, 1, (2, 7, 7, 13)), dtype=jnp.float32)
+    terms = yolo_v1_loss_terms(y_true, y_pred, 3, 2)
+    total = (5.0 * terms["box_loss"] + terms["object_loss"]
+             + 0.5 * terms["no_object_loss"] + terms["class_loss"])
+    np.testing.assert_allclose(float(total), float(terms["total"]), rtol=1e-6)
+
+
+def test_loss_zero_when_perfect():
+    # A target compared against itself: xy/class/noobj terms vanish; the
+    # object term becomes (iou - conf)^2 = (1 - 1)^2 = 0; wh term only
+    # differs by the sqrt epsilon.
+    y = np.zeros((1, 7, 7, 13), np.float32)
+    y[:, 2, 2, 0] = 1
+    y[:, 2, 2, 3] = 1
+    y[:, 2, 2, 4:8] = [0.5, 0.5, 0.2, 0.2]
+    val = float(yolo_v1_loss(jnp.asarray(y), jnp.asarray(y), 3, 2))
+    assert val < 1e-4
+
+
+def test_loss_gradients_finite():
+    rng = np.random.RandomState(2)
+    y_true = np.zeros((2, 7, 7, 13), np.float32)
+    # objects present and absent; include zero and negative predicted w/h
+    y_true[:, 1, 1, 2] = 1
+    y_true[:, 1, 1, 3] = 1
+    y_true[:, 1, 1, 4:8] = [0.5, 0.5, 0.1, 0.1]
+    y_pred = rng.uniform(-0.5, 1.0, size=(2, 7, 7, 13)).astype(np.float32)
+    y_pred[:, 1, 1, 6:8] = [0.0, -0.3]  # exercise sign/sqrt/abs at w,h <= 0
+
+    grad = jax.grad(
+        lambda p: yolo_v1_loss(jnp.asarray(y_true), p, 3, 2))(jnp.asarray(y_pred))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_loss_jit_compiles():
+    y = jnp.zeros((1, 7, 7, 13), dtype=jnp.float32)
+    fn = jax.jit(lambda t, p: yolo_v1_loss(t, p, 3, 2))
+    assert np.isfinite(float(fn(y, y)))
