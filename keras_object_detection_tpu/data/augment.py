@@ -1,0 +1,201 @@
+"""On-device, jit-compiled augmentation (parity target: the reference's
+Albumentations train policy, ref dataset.py:136-146 — HorizontalFlip(0.5),
+ColorJitter(defaults 0.2), RandomResizedCrop(scale 0.8-1), Normalize(0,1),
+bbox-aware with min_visibility=0.1).
+
+The reference augments per-image in Python on the host; here the whole batch
+is one fused XLA program over ``jax.random`` streams (vmapped per image), so
+augmentation rides the TPU's VPU and overlaps with the host reading the next
+batch. Exact RNG streams necessarily differ from Albumentations; parity is
+distributional for the train path, while the deterministic eval path
+(host resize + /255) is bit-comparable (SURVEY.md §7).
+
+All shapes are static: boxes stay padded ``(N, 5)`` with a validity mask that
+the visibility filter updates in place of Albumentations' list filtering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    rng = maxc - minc
+    s = jnp.where(maxc > 0, rng / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_rng = jnp.maximum(rng, 1e-12)
+    rc = (maxc - r) / safe_rng
+    gc = (maxc - g) / safe_rng
+    bc = (maxc - b) / safe_rng
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(rng > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _color_jitter(img: jnp.ndarray, key: jax.Array,
+                  strengths: Tuple[float, float, float, float]) -> jnp.ndarray:
+    """Brightness/contrast/saturation/hue jitter with Albumentations-default
+    strengths (0.2 each). Applied in a fixed order (Albumentations shuffles;
+    distributionally equivalent for these small factors)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    sb, sc, ss, sh = strengths
+
+    fb = jax.random.uniform(kb, (), minval=1.0 - sb, maxval=1.0 + sb)
+    img = jnp.clip(img * fb, 0.0, 1.0)
+
+    fc = jax.random.uniform(kc, (), minval=1.0 - sc, maxval=1.0 + sc)
+    gray_mean = jnp.mean(
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    img = jnp.clip((img - gray_mean) * fc + gray_mean, 0.0, 1.0)
+
+    fs = jax.random.uniform(ks, (), minval=1.0 - ss, maxval=1.0 + ss)
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
+    img = jnp.clip(gray + (img - gray) * fs, 0.0, 1.0)
+
+    fh = jax.random.uniform(kh, (), minval=-sh, maxval=sh)
+    hsv = _rgb_to_hsv(img)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+    return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+
+
+def _random_resized_crop(
+    img: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float],
+    min_visibility: float,
+):
+    """Sample a crop window (relative units), resample the image back to its
+    own size via ``scale_and_translate``, and remap/clip/filter the boxes."""
+    size = img.shape[0]
+    ka, kr, kx, ky = jax.random.split(key, 4)
+    area = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        kr, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    r = jnp.exp(log_r)
+    crop_w = jnp.clip(jnp.sqrt(area * r), 0.05, 1.0)
+    crop_h = jnp.clip(jnp.sqrt(area / r), 0.05, 1.0)
+    x0 = jax.random.uniform(kx, (), minval=0.0, maxval=1.0) * (1.0 - crop_w)
+    y0 = jax.random.uniform(ky, (), minval=0.0, maxval=1.0) * (1.0 - crop_h)
+
+    # out[o] samples in[(o + 0.5 - t)/s - 0.5]; choose s, t so the crop window
+    # [y0, y0+crop_h] maps onto the full output.
+    sy = 1.0 / crop_h
+    sx = 1.0 / crop_w
+    ty = -y0 * size * sy
+    tx = -x0 * size * sx
+    img = jax.image.scale_and_translate(
+        img,
+        shape=img.shape,
+        spatial_dims=(0, 1),
+        scale=jnp.stack([sy, sx]),
+        translation=jnp.stack([ty, tx]),
+        method="linear",
+    )
+    img = jnp.clip(img, 0.0, 1.0)
+
+    # Remap boxes into crop coordinates.
+    cx = (boxes[:, 0] - x0) / crop_w
+    cy = (boxes[:, 1] - y0) / crop_h
+    w = boxes[:, 2] / crop_w
+    h = boxes[:, 3] / crop_h
+    xmin = jnp.clip(cx - w / 2, 0.0, 1.0)
+    xmax = jnp.clip(cx + w / 2, 0.0, 1.0)
+    ymin = jnp.clip(cy - h / 2, 0.0, 1.0)
+    ymax = jnp.clip(cy + h / 2, 0.0, 1.0)
+    new_w = xmax - xmin
+    new_h = ymax - ymin
+    # Visibility = surviving area fraction (Albumentations min_visibility
+    # filter, ref dataset.py:141).
+    vis = (new_w * new_h) / jnp.maximum(w * h, 1e-12)
+    keep = valid & (vis >= min_visibility) & (new_w > 1e-4) & (new_h > 1e-4)
+    new_boxes = jnp.stack(
+        [(xmin + xmax) / 2, (ymin + ymax) / 2, new_w, new_h, boxes[:, 4]], axis=-1)
+    new_boxes = jnp.where(keep[:, None], new_boxes, 0.0)
+    return img, new_boxes, keep
+
+
+def _augment_one(
+    img_u8: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    hflip_prob: float,
+    color_strengths: Tuple[float, float, float, float],
+    crop_scale: Tuple[float, float],
+    crop_ratio: Tuple[float, float],
+    min_visibility: float,
+):
+    kf, kc, kcrop = jax.random.split(key, 3)
+    img = img_u8.astype(jnp.float32) / 255.0  # Normalize(0,1), ref dataset.py:140
+
+    flip = jax.random.uniform(kf, ()) < hflip_prob
+    img = jnp.where(flip, img[:, ::-1, :], img)
+    boxes = jnp.where(
+        flip, boxes.at[:, 0].set(1.0 - boxes[:, 0]), boxes)
+
+    img = _color_jitter(img, kc, color_strengths)
+    img, boxes, valid = _random_resized_crop(
+        img, boxes, valid, kcrop, crop_scale, crop_ratio, min_visibility)
+    return img, boxes, valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "hflip_prob", "color_strengths", "crop_scale", "crop_ratio",
+        "min_visibility",
+    ),
+)
+def augment_batch(
+    images_u8: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    hflip_prob: float = 0.5,
+    color_strengths: Tuple[float, float, float, float] = (0.2, 0.2, 0.2, 0.2),
+    crop_scale: Tuple[float, float] = (0.8, 1.0),
+    crop_ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
+    min_visibility: float = 0.1,
+):
+    """Train-time augmentation for a batch: ``(B, H, W, 3) u8`` + padded boxes
+    -> normalized float images + remapped boxes + updated validity."""
+    keys = jax.random.split(key, images_u8.shape[0])
+    return jax.vmap(
+        lambda i, b, v, k: _augment_one(
+            i, b, v, k, hflip_prob, color_strengths, crop_scale, crop_ratio,
+            min_visibility)
+    )(images_u8, boxes, valid, keys)
+
+
+@jax.jit
+def preprocess_eval_batch(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """Eval path: just Normalize(0,1) — the host already resized, so this is
+    bit-comparable to the reference's ``A.Resize + A.Normalize(0,1)``
+    (ref dataset.py:143-146)."""
+    return images_u8.astype(jnp.float32) / 255.0

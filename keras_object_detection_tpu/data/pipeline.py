@@ -1,0 +1,121 @@
+"""Host-parallel, device-prefetched input pipeline (replaces the reference's
+single-threaded ``keras.utils.Sequence``, ref dataset.py:18-123).
+
+Design for input-bound throughput (SURVEY.md §7 "hard parts"): a thread pool
+decodes JPEGs while the device trains on the previous batch; batches are
+``device_put`` ahead of time (double-buffered prefetch) with an optional
+``NamedSharding`` so each host shard feeds its mesh slice directly.
+
+Batch layout is raw — ``(images u8, boxes (B, N, 5), valid (B, N))`` — and
+augmentation + grid encoding happen on-device inside the jitted train step
+(``data.augment`` + ``core.grid``), so the host never touches float pixels.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from keras_object_detection_tpu.data.reader import list_examples, load_example
+
+Batch = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+class YoloDataset:
+    """Epoch-based batched loader over a YOLO-format directory.
+
+    Mirrors the reference generator's surface: ``len()`` follows the same
+    drop_remainder arithmetic (ref dataset.py:38-47), shuffling reshuffles
+    indices each epoch (ref dataset.py:33-36). Unlike the reference, the last
+    partial batch is padded (with a per-image validity count) instead of
+    silently shrinking the array shape, keeping shapes static for jit.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        image_size: int,
+        batch_size: int,
+        max_boxes: int = 64,
+        shuffle: bool = False,
+        drop_remainder: bool = False,
+        num_workers: int = 8,
+        seed: int = 0,
+    ):
+        self.paths = np.array(list_examples(data_dir))
+        if len(self.paths) == 0:
+            raise FileNotFoundError(f"no *.jpg files under {data_dir!r}")
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.RandomState(seed)
+        self._pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+
+    def __len__(self) -> int:
+        n, b = len(self.paths), self.batch_size
+        if self.drop_remainder:
+            return n // b
+        return n // b + (1 if n % b else 0)
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.paths)
+
+    def _load_batch(self, paths) -> Batch:
+        size = self.image_size
+        results = list(
+            self._pool.map(
+                lambda p: load_example(p, size, self.max_boxes), paths))
+        images = np.zeros((self.batch_size, size, size, 3), np.uint8)
+        boxes = np.zeros((self.batch_size, self.max_boxes, 5), np.float32)
+        valid = np.zeros((self.batch_size, self.max_boxes), bool)
+        for i, (img, bx, vl) in enumerate(results):
+            images[i], boxes[i], valid[i] = img, bx, vl
+        return images, boxes, valid
+
+    def epoch(self) -> Iterator[Batch]:
+        """Yield host batches for one epoch (images padded to batch_size;
+        trailing pad images have zero valid boxes and zero pixels)."""
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        nb = len(self)
+        for i in range(nb):
+            sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield self._load_batch(self.paths[sel])
+
+    def prefetched(
+        self,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+    ) -> Iterator[Batch]:
+        """Epoch iterator with device transfer overlapped ahead of compute.
+
+        With a ``NamedSharding`` over the mesh's data axis, each batch lands
+        already sharded across devices (the DP input path, SURVEY.md §2.2).
+        """
+
+        def put(batch: Batch):
+            if sharding is None:
+                return jax.device_put(batch)
+            return jax.device_put(batch, sharding)
+
+        queue: collections.deque = collections.deque()
+        it = self.epoch()
+        try:
+            for _ in range(prefetch):
+                queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        while queue:
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                pass
+            yield queue.popleft()

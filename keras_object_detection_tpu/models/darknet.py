@@ -62,12 +62,14 @@ class DarknetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for entry in self.architecture:
-            if isinstance(entry, tuple):
+            # flax canonicalizes lists to tuples in module attributes, so
+            # dispatch on content: 4 ints = conv, "M" = pool, else repeat block.
+            if isinstance(entry, str):
+                x = max_pool_2x2(x)
+            elif len(entry) == 4 and all(isinstance(v, int) for v in entry):
                 k, f, s, p = entry
                 x = ConvBlock(f, k, s, p, dtype=self.dtype)(x, train=train)
-            elif isinstance(entry, str):
-                x = max_pool_2x2(x)
-            else:  # [conv_a, conv_b, repeats]
+            else:  # (conv_a, conv_b, repeats)
                 conv_a, conv_b, repeats = entry
                 for _ in range(repeats):
                     x = ConvBlock(conv_a[1], conv_a[0], conv_a[2], conv_a[3],

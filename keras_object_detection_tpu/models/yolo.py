@@ -27,11 +27,16 @@ class ConvHead(nn.Module):
     computed in float32 so detection logits keep full precision."""
 
     cell_depth: int
+    grid: int = 7
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = ConvBlock(1024, 3, strides=2, padding="SAME", dtype=self.dtype)(
+        # The reference pairs this head with 14x14 backbone features and
+        # strides down to 7 (ref model.py:247); backbones that already emit
+        # the grid resolution (darknet24) keep stride 1.
+        stride = max(x.shape[1] // self.grid, 1)
+        x = ConvBlock(1024, 3, strides=stride, padding="SAME", dtype=self.dtype)(
             x, train=train)
         x = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32)(x.astype(jnp.float32))
@@ -111,7 +116,8 @@ class YoloV1(nn.Module):
         x = images.astype(self.compute_dtype)
         x = BACKBONES[self.backbone](self.compute_dtype)(x, train=train)
         if self.head == "conv":
-            out = ConvHead(depth, dtype=self.compute_dtype)(x, train=train)
+            out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype)(
+                x, train=train)
         elif self.head == "gap_dense":
             out = GAPDenseHead(self.grid, depth, units=self.head_dense_units,
                                dtype=self.compute_dtype)(x, train=train)

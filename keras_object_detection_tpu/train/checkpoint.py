@@ -1,0 +1,67 @@
+"""Orbax checkpointing with a best-by-val-loss policy (parity target:
+ref train.py:150-157 ``ModelCheckpoint(save_best_only=True)`` /
+ref yolo_v1.py:923-929).
+
+Improvement over the reference (SURVEY.md §5): the full train state —
+params, batch stats, optimizer state, AND step counter — is checkpointed
+(the reference saves weights only and cannot resume the optimizer), with
+async saves so the device keeps training during serialization.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Keeps the latest N checkpoints plus the best-by-metric one."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 monitor: str = "val_loss", mode: str = "min"):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._monitor = monitor
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=lambda metrics: metrics[monitor],
+                best_mode=mode,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, state: Any, metrics: dict) -> None:
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={self._monitor: float(metrics[self._monitor])},
+        )
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_template``. ``step=None``
+        restores the best checkpoint (falling back to latest)."""
+        if step is None:
+            step = self._mgr.best_step()
+            if step is None:
+                step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    @property
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

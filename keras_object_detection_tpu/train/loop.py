@@ -1,0 +1,272 @@
+"""Training orchestration (parity targets: ref train.py:228-259 /
+ref yolo_v1.py:731-946 ``model.fit`` + callbacks).
+
+TPU-native design: ONE jitted train step contains the whole per-batch
+pipeline — on-device augmentation, grid-target encoding, forward (bf16 MXU),
+loss, backward, optimizer update — over a ``jax.sharding.Mesh``. Inputs are
+batch-sharded on the data axis, parameters replicated; XLA derives the
+gradient all-reduce over ICI from the shardings. The host's only jobs are
+JPEG decode (threaded, prefetched) and epoch bookkeeping.
+
+The reference's callback zoo maps to plain code:
+- LearningRateScheduler  -> per-epoch LR array + ``optax.inject_hyperparams``
+- ModelCheckpoint(best)  -> ``CheckpointManager`` (orbax, async, full state)
+- TensorBoard/LossTensor -> ``MetricLogger``
+- CustomCallback (mAP)   -> ``Trainer._maybe_eval_map`` with the same
+  epoch>100 / improved-or-every-10 policy (ref train.py:189-200)
+- EarlyStopping          -> ``Trainer.fit(early_stop_patience=...)``
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from keras_object_detection_tpu.config import Config
+from keras_object_detection_tpu.core.grid import encode_grid
+from keras_object_detection_tpu.data.augment import augment_batch, preprocess_eval_batch
+from keras_object_detection_tpu.data.pipeline import YoloDataset
+from keras_object_detection_tpu.losses.yolo import yolo_v1_loss_terms
+from keras_object_detection_tpu.models.yolo import build_model
+from keras_object_detection_tpu.ops.map import MeanAveragePrecision
+from keras_object_detection_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+)
+from keras_object_detection_tpu.train.checkpoint import CheckpointManager
+from keras_object_detection_tpu.train.metrics_logger import MetricLogger
+from keras_object_detection_tpu.train.schedules import epoch_schedule
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def _make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    opts = {
+        "adam": optax.adam,  # ref yolo_v1.py monolith
+        "nadam": optax.nadam,  # ref train.py:114
+        "sgd": optax.sgd,
+    }
+    if name not in opts:
+        raise ValueError(f"unknown optimizer {name!r}; options: {sorted(opts)}")
+    return optax.inject_hyperparams(opts[name])(learning_rate=lr)
+
+
+def create_train_state(config: Config, rng: jax.Array) -> TrainState:
+    """Initialize model params + optimizer (ref train.py:104-114)."""
+    model = build_model(config)
+    size = config.model.image_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    tx = _make_optimizer(config.train.optimizer, config.train.schedule.base_lr)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Swap the injected LR without recompiling the step."""
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def make_train_step(config: Config):
+    """Build the fused train step: augment -> encode -> fwd/bwd -> update."""
+    g = config.grid
+    d = config.data
+    t = config.train
+
+    def train_step(state: TrainState, images_u8, boxes, valid, rng):
+        akey, dkey = jax.random.split(jax.random.fold_in(rng, state.step))
+        images, aboxes, avalid = augment_batch(
+            images_u8, boxes, valid, akey,
+            hflip_prob=d.hflip_prob, color_strengths=tuple(d.color_jitter),
+            crop_scale=tuple(d.crop_scale), crop_ratio=tuple(d.crop_ratio),
+            min_visibility=d.min_visibility,
+        )
+        y_true = jax.vmap(
+            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
+        )(aboxes, avalid)
+
+        def loss_fn(params):
+            outs = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dkey},
+            )
+            y_pred, updates = outs
+            y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
+            terms = yolo_v1_loss_terms(
+                y_true, y_pred, g.num_classes, g.num_boxes,
+                t.lambda_coord, t.lambda_noobj)
+            return terms["total"], (terms, updates["batch_stats"])
+
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {k: v for k, v in terms.items()}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(config: Config):
+    """Deterministic eval: normalize -> encode -> forward(train=False) -> loss.
+    Also returns the raw predictions for the mAP accumulator."""
+    g = config.grid
+    t = config.train
+
+    def eval_step(state: TrainState, images_u8, boxes, valid):
+        images = preprocess_eval_batch(images_u8)
+        y_true = jax.vmap(
+            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
+        )(boxes, valid)
+        y_pred = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        y_pred = y_pred.reshape(y_true.shape)
+        terms = yolo_v1_loss_terms(
+            y_true, y_pred, g.num_classes, g.num_boxes,
+            t.lambda_coord, t.lambda_noobj)
+        return terms["total"], y_true, y_pred
+
+    return eval_step
+
+
+class Trainer:
+    """End-to-end training driver (the ``model.fit`` analogue)."""
+
+    def __init__(self, config: Config, mesh=None, use_tensorboard: bool = True):
+        self.config = config
+        self.mesh = mesh if mesh is not None else create_mesh(
+            data_parallel=config.mesh.data_parallel,
+            model_parallel=config.mesh.model_parallel)
+        dp = self.mesh.shape[config.mesh.data_axis]
+        if config.data.batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size {config.data.batch_size} must be divisible by "
+                f"the data-parallel mesh size {dp}")
+        self._batch_sharding = batch_sharding(self.mesh, config.mesh.data_axis)
+        self._replicated = replicated_sharding(self.mesh)
+
+        self._train_step = jax.jit(
+            make_train_step(config), donate_argnums=(0,),
+            out_shardings=(self._replicated, self._replicated))
+        self._eval_step = jax.jit(make_eval_step(config))
+        self.logger = MetricLogger(config.train.log_dir,
+                                   use_tensorboard=use_tensorboard)
+        self.ckpt = CheckpointManager(config.train.checkpoint_dir)
+        self.map_metric = MeanAveragePrecision(
+            config.grid.num_classes, config.grid.num_boxes, config.grid.grid)
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(
+            self.config.train.seed if seed is None else seed)
+        state = create_train_state(self.config, rng)
+        return jax.device_put(state, self._replicated)
+
+    def _run_validation(self, state: TrainState, ds: YoloDataset,
+                        with_map: bool) -> Dict[str, float]:
+        total, batches = 0.0, 0
+        if with_map:
+            self.map_metric.reset_states()
+        for images, boxes, valid in ds.prefetched(self._batch_sharding):
+            loss, y_true, y_pred = self._eval_step(state, images, boxes, valid)
+            total += float(loss)
+            batches += 1
+            if with_map:
+                self.map_metric.update_state(y_true, y_pred)
+        out = {"val_loss": total / max(batches, 1)}
+        if with_map:
+            out["val_mAP"] = self.map_metric.result()
+        return out
+
+    def _should_eval_map(self, epoch: int, improved: bool) -> bool:
+        """The reference's mAP evaluation policy (ref train.py:189-200):
+        after epoch 100 (1-based), when monitored loss improves or every 10."""
+        t = self.config.train
+        if (epoch + 1) <= t.map_eval_start_epoch:
+            return False
+        return improved or ((epoch + 1) % t.map_eval_every == 0)
+
+    def fit(
+        self,
+        train_ds: YoloDataset,
+        val_ds: Optional[YoloDataset] = None,
+        epochs: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        early_stop_patience: Optional[int] = None,
+        verbose: bool = True,
+    ) -> TrainState:
+        cfg = self.config
+        epochs = epochs if epochs is not None else cfg.train.epochs
+        lrs = epoch_schedule(cfg.train.schedule, epochs)
+        if state is None:
+            state = self.init_state()
+        rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+        best = float("inf")
+        since_best = 0
+        for epoch in range(epochs):
+            state = set_learning_rate(state, float(lrs[epoch]))
+            t0 = time.time()
+            train_metrics: Dict[str, float] = {}
+            nb = 0
+            for images, boxes, valid in train_ds.prefetched(self._batch_sharding):
+                state, metrics = self._train_step(state, images, boxes, valid, rng)
+                nb += 1
+                for k, v in metrics.items():
+                    train_metrics[k] = train_metrics.get(k, 0.0) + float(v)
+            train_metrics = {k: v / max(nb, 1) for k, v in train_metrics.items()}
+            train_metrics["lr"] = float(lrs[epoch])
+            train_metrics["epoch_time_s"] = time.time() - t0
+            train_metrics["images_per_s"] = (
+                nb * train_ds.batch_size / max(train_metrics["epoch_time_s"], 1e-9))
+
+            logs = dict(train_metrics)
+            if val_ds is not None:
+                val = self._run_validation(state, val_ds, with_map=False)
+                improved = val["val_loss"] < best
+                if self._should_eval_map(epoch, improved):
+                    val.update(self._run_validation(state, val_ds, with_map=True))
+                logs.update(val)
+                if improved:
+                    best = val["val_loss"]
+                    since_best = 0
+                else:
+                    since_best += 1
+                self.ckpt.save(epoch, jax.device_get(state),
+                               {"val_loss": val["val_loss"]})
+            else:
+                self.ckpt.save(epoch, jax.device_get(state),
+                               {"val_loss": train_metrics["total"]})
+
+            self.logger.log(epoch, logs)
+            if verbose:
+                msg = " ".join(f"{k}={v:.5g}" for k, v in logs.items())
+                print(f"epoch {epoch + 1}/{epochs}: {msg}")
+
+            if early_stop_patience is not None and since_best >= early_stop_patience:
+                if verbose:
+                    print(f"early stop at epoch {epoch + 1}")
+                break
+
+        self.ckpt.wait()
+        return state
+
+    def evaluate(self, state: TrainState, ds: YoloDataset) -> Dict[str, float]:
+        """Test-set loss + mAP (ref train.py:244-259 post-fit evaluation)."""
+        return self._run_validation(state, ds, with_map=True)

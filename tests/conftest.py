@@ -7,12 +7,19 @@ driver's ``dryrun_multichip`` validates.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The TPU sitecustomize may have imported jax already (env JAX_PLATFORMS is
+# read at import), so switch platform via jax.config — it works any time
+# before first backend use. XLA_FLAGS is read at CPU client creation, which
+# also hasn't happened yet.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,161 @@
+"""Data pipeline tests: reader parity with the reference label format
+(ref dataset.py:114-123), loader shape/semantics, and on-device augmentation
+invariants (boxes stay consistent with images, eval path bit-comparable)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_object_detection_tpu.data.augment import augment_batch, preprocess_eval_batch
+from keras_object_detection_tpu.data.pipeline import YoloDataset
+from keras_object_detection_tpu.data.reader import (
+    list_examples,
+    load_example,
+    read_yolo_labels,
+)
+
+FIXTURE = "/root/reference/yolo_v1/data"
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    """A 5-image dataset built by replicating the reference fixture."""
+    d = tmp_path_factory.mktemp("yolo_data")
+    for i in range(5):
+        shutil.copy(os.path.join(FIXTURE, "test.jpg"), d / f"img{i}.jpg")
+        shutil.copy(os.path.join(FIXTURE, "test.txt"), d / f"img{i}.txt")
+    return str(d)
+
+
+def test_read_yolo_labels_fixture():
+    boxes = read_yolo_labels(os.path.join(FIXTURE, "test.txt"))
+    assert boxes.shape == (3, 5)
+    # column order [cx, cy, w, h, class] (ref dataset.py:120)
+    np.testing.assert_allclose(
+        boxes[0], [0.756250, 0.210417, 0.293750, 0.179167, 0.0], rtol=1e-6)
+    assert list(boxes[:, 4]) == [0.0, 1.0, 2.0]
+
+
+def test_load_example_shapes():
+    img, boxes, valid = load_example(
+        os.path.join(FIXTURE, "test.jpg"), image_size=224, max_boxes=8)
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+    assert boxes.shape == (8, 5) and valid.sum() == 3
+    assert img.max() > 10  # decoded real pixels
+
+
+def test_dataset_len_semantics(data_dir):
+    # 5 images, batch 2: ceil -> 3 batches, drop_remainder -> 2 (ref dataset.py:38-47)
+    assert len(YoloDataset(data_dir, 64, 2)) == 3
+    assert len(YoloDataset(data_dir, 64, 2, drop_remainder=True)) == 2
+
+
+def test_dataset_epoch_batches(data_dir):
+    ds = YoloDataset(data_dir, 64, 2, max_boxes=8)
+    batches = list(ds.epoch())
+    assert len(batches) == 3
+    images, boxes, valid = batches[0]
+    assert images.shape == (2, 64, 64, 3)
+    assert valid.sum() == 6  # 3 boxes per image
+    # last batch is padded: one real image + one zero pad
+    images, boxes, valid = batches[-1]
+    assert valid[0].sum() == 3 and valid[1].sum() == 0
+    assert images[1].sum() == 0
+
+
+def test_dataset_shuffle_reshuffles(data_dir):
+    ds = YoloDataset(data_dir, 16, 5, shuffle=True, seed=0)
+    ds2 = YoloDataset(data_dir, 16, 5, shuffle=False)
+    # same content regardless of order
+    a = np.sort(next(ds.epoch())[0].sum(axis=(1, 2, 3)))
+    b = np.sort(next(ds2.epoch())[0].sum(axis=(1, 2, 3)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_prefetched_yields_device_arrays(data_dir):
+    ds = YoloDataset(data_dir, 32, 2)
+    got = list(ds.prefetched())
+    assert len(got) == len(ds)
+    assert isinstance(got[0][0], jax.Array)
+
+
+def test_eval_preprocess_bit_comparable():
+    # /255 normalization, exactly the reference Normalize(0,1)
+    img = np.arange(48, dtype=np.uint8).reshape(1, 4, 4, 3)
+    out = np.asarray(preprocess_eval_batch(jnp.asarray(img)))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, rtol=1e-7)
+
+
+def test_augment_shapes_and_ranges():
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, size=(4, 64, 64, 3), dtype=np.uint8)
+    boxes = np.zeros((4, 8, 5), np.float32)
+    valid = np.zeros((4, 8), bool)
+    boxes[:, 0] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    valid[:, 0] = True
+    out_img, out_boxes, out_valid = augment_batch(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+        jax.random.PRNGKey(0))
+    assert out_img.shape == (4, 64, 64, 3)
+    assert float(out_img.min()) >= 0.0 and float(out_img.max()) <= 1.0
+    # surviving boxes stay in [0, 1]
+    ob = np.asarray(out_boxes)[np.asarray(out_valid)]
+    assert (ob[:, :4] >= -1e-6).all() and (ob[:, :4] <= 1 + 1e-6).all()
+    # class ids preserved
+    assert set(ob[:, 4]) <= {1.0}
+
+
+def test_augment_hflip_only_flips_cx():
+    # force flip (prob=1), disable everything else
+    images = np.zeros((1, 32, 32, 3), np.uint8)
+    images[:, :, :8] = 255  # bright left strip
+    boxes = np.array([[[0.2, 0.4, 0.1, 0.1, 0.0]]], np.float32)
+    valid = np.ones((1, 1), bool)
+    out_img, out_boxes, out_valid = augment_batch(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+        jax.random.PRNGKey(1), hflip_prob=1.0,
+        color_strengths=(0.0, 0.0, 0.0, 0.0), crop_scale=(1.0, 1.0),
+        crop_ratio=(1.0, 1.0))
+    assert bool(out_valid[0, 0])
+    np.testing.assert_allclose(
+        np.asarray(out_boxes)[0, 0, :4], [0.8, 0.4, 0.1, 0.1], atol=1e-5)
+    # bright strip moved to the right side
+    assert float(out_img[0, :, -8:].mean()) > float(out_img[0, :, :8].mean())
+
+
+def test_augment_identity_when_disabled():
+    rng = np.random.RandomState(2)
+    images = rng.randint(0, 255, size=(2, 16, 16, 3), dtype=np.uint8)
+    boxes = np.array([[[0.5, 0.5, 0.2, 0.2, 0.0]]] * 2, np.float32)
+    valid = np.ones((2, 1), bool)
+    out_img, out_boxes, out_valid = augment_batch(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+        jax.random.PRNGKey(3), hflip_prob=0.0,
+        color_strengths=(0.0, 0.0, 0.0, 0.0), crop_scale=(1.0, 1.0),
+        crop_ratio=(1.0, 1.0))
+    np.testing.assert_allclose(
+        np.asarray(out_img), images.astype(np.float32) / 255.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_boxes), boxes, atol=1e-5)
+
+
+def test_augment_crop_drops_low_visibility():
+    # box at the far corner; a centered tight crop must drop it
+    images = np.zeros((1, 64, 64, 3), np.uint8)
+    boxes = np.array([[[0.03, 0.03, 0.05, 0.05, 0.0],
+                       [0.5, 0.5, 0.4, 0.4, 1.0]]], np.float32)
+    valid = np.ones((1, 2), bool)
+    dropped_corner = 0
+    for seed in range(20):
+        _, ob, ov = augment_batch(
+            jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+            jax.random.PRNGKey(seed), hflip_prob=0.0,
+            color_strengths=(0.0, 0.0, 0.0, 0.0), crop_scale=(0.5, 0.6),
+            crop_ratio=(1.0, 1.0))
+        ov = np.asarray(ov)[0]
+        assert ov[1]  # big center box always survives a 0.5-0.6 area crop
+        dropped_corner += int(~ov[0])
+    assert dropped_corner > 0  # corner box dropped in some crops

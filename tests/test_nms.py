@@ -49,14 +49,17 @@ def test_nms_class_aware():
 
 def test_nms_suppression_chain():
     # A suppresses B; C overlaps B but not A -> C survives (greedy semantics).
+    # quirky-IoU values (reference formula): IoU(A,B)=0.667, IoU(B,C)=0.29,
+    # IoU(A,C)=0.143 — with threshold 0.25, A kills B, and C survives only
+    # because B (which would kill it) is already dead. Greedy semantics.
     boxes = jnp.asarray(
         [
             [0.0, 0.9, 0.30, 0.50, 0.20, 0.20],  # A
-            [0.0, 0.8, 0.38, 0.50, 0.20, 0.20],  # B: IoU(A,B) high
-            [0.0, 0.7, 0.46, 0.50, 0.20, 0.20],  # C: overlaps B, not A enough
+            [0.0, 0.8, 0.38, 0.50, 0.20, 0.20],  # B
+            [0.0, 0.7, 0.60, 0.50, 0.20, 0.20],  # C
         ],
         dtype=jnp.float32)
-    out, valid = non_max_suppression(boxes, iou_threshold=0.3)
+    out, valid = non_max_suppression(boxes, iou_threshold=0.25)
     kept = _kept(out, valid)
     assert [round(float(c), 1) for c in kept[:, 1]] == [0.9, 0.7]
 

@@ -1,0 +1,171 @@
+"""End-to-end training tests on the CPU-runnable tiny config (BASELINE
+config 1): loss goes down, checkpoints save/restore, mAP policy, and the
+data-parallel path over the 8-device fake mesh (SURVEY.md §4e/f)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_object_detection_tpu.config import (
+    Config, DataConfig, GridConfig, ModelConfig, ScheduleConfig, TrainConfig,
+)
+from keras_object_detection_tpu.data.pipeline import YoloDataset
+from keras_object_detection_tpu.parallel.mesh import batch_sharding, create_mesh
+from keras_object_detection_tpu.train.loop import (
+    Trainer, create_train_state, make_eval_step, make_train_step,
+    set_learning_rate,
+)
+
+FIXTURE = "/root/reference/yolo_v1/data"
+
+
+def _tiny_config(tmp, image_size=224, batch_size=2):
+    return Config(
+        grid=GridConfig(grid=7, num_boxes=2, num_classes=3),
+        model=ModelConfig(backbone="darknet_tiny", head="conv",
+                          image_size=image_size, compute_dtype="float32"),
+        data=DataConfig(batch_size=batch_size, max_boxes_per_image=8),
+        train=TrainConfig(
+            epochs=2, optimizer="adam",
+            schedule=ScheduleConfig(kind="constant", base_lr=1e-3),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            log_dir=os.path.join(tmp, "logs"), seed=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train_data")
+    for i in range(4):
+        shutil.copy(os.path.join(FIXTURE, "test.jpg"), d / f"img{i}.jpg")
+        shutil.copy(os.path.join(FIXTURE, "test.txt"), d / f"img{i}.txt")
+    return str(d)
+
+
+def test_train_step_decreases_loss(tmp_path, data_dir):
+    cfg = _tiny_config(str(tmp_path))
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+    batch = next(ds.epoch())
+    first = None
+    for i in range(12):
+        state, metrics = step(state, jnp.asarray(batch[0]),
+                              jnp.asarray(batch[1]), jnp.asarray(batch[2]), rng)
+        if first is None:
+            first = float(metrics["total"])
+    last = float(metrics["total"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_eval_step_deterministic(tmp_path, data_dir):
+    cfg = _tiny_config(str(tmp_path))
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    estep = jax.jit(make_eval_step(cfg))
+    images, boxes, valid = next(ds.epoch())
+    l1, yt, yp = estep(state, jnp.asarray(images), jnp.asarray(boxes),
+                       jnp.asarray(valid))
+    l2, _, _ = estep(state, jnp.asarray(images), jnp.asarray(boxes),
+                     jnp.asarray(valid))
+    assert float(l1) == float(l2)
+    assert yt.shape == yp.shape == (2, 7, 7, 13)
+
+
+def test_trainer_fit_and_checkpoint(tmp_path, data_dir):
+    cfg = _tiny_config(str(tmp_path))
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8, shuffle=True)
+    val = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                      max_boxes=8)
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=2,
+                                            devices=jax.devices()[:2]),
+                      use_tensorboard=False)
+    state = trainer.fit(ds, val, epochs=2, verbose=False)
+    assert int(state.step) == 2 * len(ds)
+    # checkpoint round-trip
+    template = jax.device_get(trainer.init_state())
+    restored = trainer.ckpt.restore(template)
+    assert int(restored.step) > 0
+    # log file written
+    logs = open(os.path.join(cfg.train.log_dir, "train.jsonl")).read()
+    assert "val_loss" in logs
+    trainer.ckpt.close()
+
+
+def test_map_eval_policy(tmp_path):
+    cfg = _tiny_config(str(tmp_path))
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                            devices=jax.devices()[:1]),
+                      use_tensorboard=False)
+    # epoch <= 100 (1-based): never
+    assert not trainer._should_eval_map(50, improved=True)
+    # after 100: on improvement
+    assert trainer._should_eval_map(100, improved=True)
+    # after 100, no improvement: every 10th (1-based)
+    assert trainer._should_eval_map(109, improved=False)  # epoch+1=110
+    assert not trainer._should_eval_map(105, improved=False)
+    trainer.ckpt.close()
+
+
+def test_data_parallel_mesh_training(tmp_path, data_dir):
+    """The DP path over the 8-device fake mesh: batch sharded on 'data',
+    params replicated, one full train step executes."""
+    assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+    cfg = _tiny_config(str(tmp_path), batch_size=8)
+    mesh = create_mesh()
+    assert mesh.devices.shape == (8, 1)
+    trainer = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    state = trainer.init_state()
+    ds = YoloDataset(data_dir, cfg.model.image_size, 8, max_boxes=8)
+    images, boxes, valid = next(
+        ds.prefetched(batch_sharding(mesh)))
+    assert len(images.sharding.device_set) == 8
+    state, metrics = trainer._train_step(
+        state, images, boxes, valid, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+    # params stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    trainer.ckpt.close()
+
+
+def test_dp_matches_single_device(tmp_path, data_dir):
+    """Gradient all-reduce correctness: a sharded step and a single-device
+    step from the same state produce the same loss."""
+    cfg = _tiny_config(str(tmp_path), batch_size=8)
+    ds = YoloDataset(data_dir, cfg.model.image_size, 8, max_boxes=8)
+    images, boxes, valid = next(ds.epoch())
+    rng = jax.random.PRNGKey(2)
+
+    state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    step1 = jax.jit(make_train_step(cfg))
+    _, m1 = step1(state1, jnp.asarray(images), jnp.asarray(boxes),
+                  jnp.asarray(valid), rng)
+
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+    state2 = jax.device_put(create_train_state(cfg, jax.random.PRNGKey(0)),
+                            jax.sharding.NamedSharding(
+                                mesh, jax.sharding.PartitionSpec()))
+    step2 = jax.jit(make_train_step(cfg))
+    _, m2 = step2(state2, jax.device_put(jnp.asarray(images), sharding),
+                  jax.device_put(jnp.asarray(boxes), sharding),
+                  jax.device_put(jnp.asarray(valid), sharding), rng)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=2e-4)
+
+
+def test_set_learning_rate_no_recompile(tmp_path, data_dir):
+    cfg = _tiny_config(str(tmp_path))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = set_learning_rate(state, 0.01)
+    assert np.isclose(float(state.opt_state.hyperparams["learning_rate"]), 0.01)
