@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: flagship train-step throughput + fused eval latency on the
+attached TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline compares against the reference implementation measured on this
+container's CPU (see bench_baseline.json — the TF2/Keras reference has no TPU
+path, so its own best-available hardware here is the CPU).
+
+Env knobs: KOT_BENCH_BATCH (default 32), KOT_BENCH_STEPS (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    from keras_object_detection_tpu.config import voc_full_config
+    from keras_object_detection_tpu.eval.evaluator import InferenceModel
+    from keras_object_detection_tpu.train.loop import (
+        create_train_state, make_train_step)
+
+    batch = int(os.environ.get("KOT_BENCH_BATCH", "32"))
+    steps = int(os.environ.get("KOT_BENCH_STEPS", "20"))
+    n_chips = jax.device_count()
+
+    cfg = voc_full_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
+    size = cfg.model.image_size
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, size=(batch, size, size, 3), dtype=np.uint8))
+    boxes = np.zeros((batch, cfg.data.max_boxes_per_image, 5), np.float32)
+    boxes[:, 0] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    boxes[:, 1] = [0.2, 0.25, 0.2, 0.3, 7.0]
+    valid = np.zeros((batch, cfg.data.max_boxes_per_image), bool)
+    valid[:, :2] = True
+    boxes, valid = jnp.asarray(boxes), jnp.asarray(valid)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+
+    # --- train throughput ---------------------------------------------------
+    for _ in range(3):  # warmup + compile
+        state, metrics = step(state, images, boxes, valid, key)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, images, boxes, valid, key)
+    jax.block_until_ready(metrics)
+    train_time = time.perf_counter() - t0
+    train_ips = steps * batch / train_time / n_chips
+
+    # --- fused eval (forward + decode + NMS) --------------------------------
+    infer = InferenceModel(cfg, state.params, state.batch_stats)
+    lat1 = infer.benchmark_latency(np.asarray(images[:1]), runs=10)
+    latb = infer.benchmark_latency(np.asarray(images), runs=10)
+    eval_ips = batch / (latb["p50_ms"] / 1000.0) / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    baseline = json.load(open(baseline_path))
+
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(train_ips, 2),
+        "unit": "images/sec/chip (448x448 darknet24 bf16 train step)",
+        "vs_baseline": round(train_ips / baseline["train_images_per_sec"], 1),
+        "extras": {
+            "batch": batch,
+            "chips": n_chips,
+            "loss_finite": bool(np.isfinite(float(metrics["total"]))),
+            "eval_images_per_sec_per_chip": round(eval_ips, 2),
+            "eval_p50_ms_batch1": round(lat1["p50_ms"], 3),
+            "eval_p50_ms_batch": round(latb["p50_ms"], 3),
+            "eval_vs_baseline": round(
+                baseline["eval_p50_ms_batch1"] / lat1["p50_ms"], 1),
+            "baseline": baseline["description"][:80],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

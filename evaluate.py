@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Inference / evaluation CLI (public-surface parity with
+ref yolo_v1/evaluate.py: load best checkpoint, fused forward+decode+NMS,
+latency micro-benchmark, tagged-image output; plus dataset-level mAP).
+
+Examples:
+  # tag one image and benchmark serving latency
+  python evaluate.py --checkpoint-dir checkpoints --image data/test.jpg \
+      --names data/test.names --output tagged.jpg
+
+  # dataset loss + mAP
+  python evaluate.py --checkpoint-dir checkpoints --data-dir voc/test
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--data-dir", help="YOLO-format dir for dataset evaluation")
+    p.add_argument("--image", help="single image to tag")
+    p.add_argument("--names", help="class-names file for tagging")
+    p.add_argument("--output", default="tagged.jpg")
+    p.add_argument("--grid-overlay", action="store_true",
+                   help="draw the SxS lattice (ref get_grid_tagged_img)")
+    p.add_argument("--latency-runs", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from keras_object_detection_tpu.config import Config
+    from keras_object_detection_tpu.data.reader import load_example
+    from keras_object_detection_tpu.data.pipeline import YoloDataset
+    from keras_object_detection_tpu.eval.evaluator import Evaluator, InferenceModel
+    from keras_object_detection_tpu.train.checkpoint import CheckpointManager
+    from keras_object_detection_tpu.train.loop import create_train_state
+    from keras_object_detection_tpu.utils.viz import get_grid_tagged_img, get_tagged_img
+
+    cfg_path = os.path.join(args.checkpoint_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        raise SystemExit(f"error: {cfg_path} not found (written by train.py)")
+    cfg = Config.from_json(open(cfg_path).read())
+
+    template = jax.device_get(
+        create_train_state(cfg, jax.random.PRNGKey(0)))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore(template)  # best checkpoint (ref evaluate.py:21)
+    print(f"restored checkpoint step={int(state.step)} "
+          f"(best={ckpt.best_step}, latest={ckpt.latest_step})")
+
+    model = InferenceModel(cfg, state.params, state.batch_stats)
+
+    if args.image:
+        img, _, _ = load_example(args.image, cfg.model.image_size,
+                                 cfg.data.max_boxes_per_image)
+        lat = model.benchmark_latency(img[None], runs=args.latency_runs)
+        print(f"fused forward+decode+NMS: p50 {lat['p50_ms']:.2f} ms "
+              f"(min {lat['min_ms']:.2f}, mean {lat['mean_ms']:.2f}, batch 1)")
+        kept = model.predict_single(img)
+        print(f"detections ({len(kept)}):")
+        for b in kept:
+            print(f"  class={int(b[0])} conf={b[1]:.3f} "
+                  f"box=({b[2]:.3f}, {b[3]:.3f}, {b[4]:.3f}, {b[5]:.3f})")
+        if args.names:
+            draw = get_grid_tagged_img if args.grid_overlay else get_tagged_img
+            tagged = draw(img.copy(), kept, args.names)
+            try:
+                import cv2
+
+                cv2.imwrite(args.output, cv2.cvtColor(tagged, cv2.COLOR_RGB2BGR))
+            except ImportError:
+                from PIL import Image
+
+                Image.fromarray(tagged).save(args.output)
+            print(f"wrote {args.output}")
+
+    if args.data_dir:
+        ds = YoloDataset(args.data_dir, cfg.model.image_size,
+                         cfg.data.batch_size,
+                         max_boxes=cfg.data.max_boxes_per_image)
+        results = Evaluator(cfg).evaluate(state, ds)
+        print("evaluation:", {k: round(float(v), 5) for k, v in results.items()})
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,41 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        import json
+
+        d = json.loads(text)
+
+        def build(tp, section):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in section.items():
+                if k not in fields:
+                    continue
+                f = fields[k]
+                if dataclasses.is_dataclass(f.type) or f.name == "schedule":
+                    kwargs[k] = build(ScheduleConfig, v)
+                elif isinstance(v, list):
+                    kwargs[k] = tuple(v)
+                else:
+                    kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(
+            grid=build(GridConfig, d.get("grid", {})),
+            model=build(ModelConfig, d.get("model", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            mesh=build(MeshConfig, d.get("mesh", {})),
+            eval=build(EvalConfig, d.get("eval", {})),
+        )
+
 
 def tiny_cpu_config(data_dir: str = "") -> Config:
     """BASELINE config 1: CPU-runnable tiny model on the 3-class fixture."""

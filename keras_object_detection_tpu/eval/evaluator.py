@@ -1,0 +1,126 @@
+"""Inference and evaluation (parity targets: ref yolo_v1/evaluate.py — the
+fused model+decode inference graph and its latency micro-benchmark — and the
+post-fit test evaluation of ref train.py:244-259).
+
+The reference fuses decode into the serving graph with a Keras ``Lambda``
+layer but still runs NMS in a graph-looped ``tf.while`` (host-paced); here
+forward + decode + batched NMS are ONE jit program — nothing dynamic leaves
+the device until the final (N, 6) box array.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_object_detection_tpu.config import Config
+from keras_object_detection_tpu.core.grid import decode_grid
+from keras_object_detection_tpu.data.pipeline import YoloDataset
+from keras_object_detection_tpu.models.yolo import build_model
+from keras_object_detection_tpu.ops.map import MeanAveragePrecision
+from keras_object_detection_tpu.ops.nms import batched_non_max_suppression
+from keras_object_detection_tpu.train.loop import TrainState, make_eval_step
+
+
+class InferenceModel:
+    """Fused forward + decode (+ NMS) serving path.
+
+    ``predict_decoded`` mirrors the reference's ``inference_model``
+    (ref evaluate.py:24-28): raw grid output decoded to (batch, S*S, 6).
+    ``predict`` goes further and returns NMS-filtered boxes — the full
+    on-device post-processing the reference runs host-paced.
+    """
+
+    def __init__(self, config: Config, params: Any, batch_stats: Any):
+        self.config = config
+        model = build_model(config)
+        g = config.grid
+        e = config.eval
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def forward(images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            y = model.apply(variables, x, train=False)
+            return y.reshape((-1,) + g.output_shape)
+
+        def forward_decode(images_u8):
+            return decode_grid(forward(images_u8), g.num_classes, g.num_boxes,
+                               g.grid)
+
+        def forward_decode_nms(images_u8):
+            boxes = forward_decode(images_u8)
+            return batched_non_max_suppression(
+                boxes, e.iou_threshold, e.conf_threshold)
+
+        self._forward = jax.jit(forward)
+        self._forward_decode = jax.jit(forward_decode)
+        self._forward_decode_nms = jax.jit(forward_decode_nms)
+
+    def predict_raw(self, images_u8) -> jnp.ndarray:
+        return self._forward(jnp.asarray(images_u8))
+
+    def predict_decoded(self, images_u8) -> jnp.ndarray:
+        return self._forward_decode(jnp.asarray(images_u8))
+
+    def predict(self, images_u8) -> Tuple[np.ndarray, np.ndarray]:
+        boxes, valid = self._forward_decode_nms(jnp.asarray(images_u8))
+        return np.asarray(boxes), np.asarray(valid)
+
+    def predict_single(self, image_u8) -> np.ndarray:
+        """One image -> (num_kept, 6) boxes, the reference's NMS output shape."""
+        boxes, valid = self.predict(np.asarray(image_u8)[None])
+        return boxes[0][valid[0]]
+
+    def benchmark_latency(self, images_u8, runs: int = 5) -> Dict[str, float]:
+        """Timed fused-graph runs (ref evaluate.py:37-47's 5-rep loop), with
+        ``block_until_ready`` so device time is what's measured."""
+        x = jnp.asarray(images_u8)
+        jax.block_until_ready(self._forward_decode_nms(x))  # compile
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(self._forward_decode_nms(x))
+            times.append((time.perf_counter() - t0) * 1000)
+        times.sort()
+        return {
+            "p50_ms": times[len(times) // 2],
+            "min_ms": times[0],
+            "mean_ms": sum(times) / len(times),
+            "batch": int(x.shape[0]),
+        }
+
+
+class Evaluator:
+    """Dataset-level loss + mAP evaluation (ref train.py CustomCallback
+    ``_calculate_map`` + post-fit test loop, without the 'It takes sometime')."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self._eval_step = jax.jit(make_eval_step(config))
+        self.map_metric = MeanAveragePrecision(
+            config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
+            iou_threshold=config.eval.iou_threshold,
+            conf_threshold=config.eval.conf_threshold,
+            map_iou_threshold=config.eval.map_iou_threshold)
+
+    def evaluate(self, state: TrainState, ds: YoloDataset,
+                 with_map: bool = True) -> Dict[str, float]:
+        total, batches = 0.0, 0
+        self.map_metric.reset_states()
+        t0 = time.perf_counter()
+        for images, boxes, valid in ds.prefetched():
+            loss, y_true, y_pred = self._eval_step(state, images, boxes, valid)
+            total += float(loss)
+            batches += 1
+            if with_map:
+                self.map_metric.update_state(y_true, y_pred)
+        out = {"loss": total / max(batches, 1)}
+        if with_map:
+            out["mAP"] = self.map_metric.result()
+        out["eval_time_s"] = time.perf_counter() - t0
+        out["images_per_s"] = ds.num_examples / max(out["eval_time_s"], 1e-9)
+        return out

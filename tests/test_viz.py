@@ -1,0 +1,42 @@
+"""Visualization tests (ref utils.py:623-713 surface)."""
+
+import numpy as np
+
+from keras_object_detection_tpu.utils.viz import get_grid_tagged_img, get_tagged_img
+
+NAMES = "/root/reference/yolo_v1/data/test.names"
+
+
+def _img():
+    return np.zeros((224, 224, 3), np.uint8)
+
+
+def test_tagged_img_draws_green_boxes():
+    boxes = np.array([[0.0, 0.9, 0.5, 0.5, 0.4, 0.4]], np.float32)
+    out = get_tagged_img(_img(), boxes, NAMES)
+    assert out.shape == (224, 224, 3)
+    # green channel painted along the box border rows
+    ymin = int((0.5 - 0.2) * 224)
+    assert out[ymin, :, 1].max() == 255
+    assert out.sum() > 0
+
+
+def test_tagged_img_no_boxes_is_noop():
+    out = get_tagged_img(_img(), np.zeros((0, 6), np.float32), NAMES)
+    assert out.sum() == 0
+
+
+def test_grid_tagged_img_draws_lattice():
+    out = get_grid_tagged_img(_img(), np.zeros((0, 6), np.float32), NAMES)
+    # magenta lattice lines at multiples of 1/7
+    a = int(224 * (1 / 7.0))
+    assert out[:, a, 0].max() == 255 and out[:, a, 2].max() == 255
+    assert out[a, :, 0].max() == 255
+
+
+def test_grid_tagged_img_center_dot():
+    boxes = np.array([[2.0, 0.8, 0.5, 0.5, 0.2, 0.2]], np.float32)
+    out = get_grid_tagged_img(_img(), boxes, NAMES)
+    # red center dot at (112, 112)
+    patch = out[108:117, 108:117]
+    assert patch[..., 2].max() == 255

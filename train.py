@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Training CLI (public-surface parity with ref yolo_v1/train.py and the
+ref yolo_v1.py __main__ working pipeline, as a real config-driven entry point
+instead of module-level constants).
+
+Examples:
+  # BASELINE config 1: CPU-runnable tiny model on a small YOLO-format dir
+  python train.py --data-dir data/ --preset tiny --epochs 5
+
+  # BASELINE config 2: full 448 Darknet-24 on VOC
+  python train.py --train-dir voc/train --val-dir voc/val --test-dir voc/test \
+      --preset voc --batch-size 64 --epochs 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--data-dir", help="single dir used for train/val/test")
+    p.add_argument("--train-dir")
+    p.add_argument("--val-dir")
+    p.add_argument("--test-dir")
+    p.add_argument("--preset", choices=["tiny", "voc"], default="voc")
+    p.add_argument("--backbone",
+                   choices=["darknet24", "darknet_tiny", "vgg16", "mobilenetv2"])
+    p.add_argument("--head", choices=["conv", "gap_dense", "flatten_dense"])
+    p.add_argument("--image-size", type=int)
+    p.add_argument("--num-classes", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--optimizer", choices=["adam", "nadam", "sgd"])
+    p.add_argument("--schedule",
+                   choices=["constant", "piecewise_warmup", "cosine_restarts"])
+    p.add_argument("--lr", type=float)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--data-parallel", type=int, default=-1,
+                   help="-1 = all devices on the data mesh axis")
+    p.add_argument("--early-stop-patience", type=int)
+    return p.parse_args()
+
+
+def build_config(args):
+    from keras_object_detection_tpu import config as cfglib
+
+    cfg = cfglib.tiny_cpu_config() if args.preset == "tiny" else cfglib.voc_full_config()
+
+    def over(obj, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(obj, **kw) if kw else obj
+
+    train_dir = args.train_dir or args.data_dir
+    if not train_dir:
+        raise SystemExit("error: --data-dir or --train-dir is required")
+    val_dir = args.val_dir or args.data_dir or train_dir
+    test_dir = args.test_dir or ""
+
+    sched = over(cfg.train.schedule, kind=args.schedule, base_lr=args.lr)
+    return dataclasses.replace(
+        cfg,
+        grid=over(cfg.grid, num_classes=args.num_classes),
+        model=over(cfg.model, backbone=args.backbone, head=args.head,
+                   image_size=args.image_size, compute_dtype=args.compute_dtype),
+        data=over(cfg.data, train_dir=train_dir, val_dir=val_dir,
+                  test_dir=test_dir, batch_size=args.batch_size),
+        train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
+                   schedule=sched, checkpoint_dir=args.checkpoint_dir,
+                   log_dir=args.log_dir, seed=args.seed),
+        mesh=over(cfg.mesh, data_parallel=args.data_parallel),
+    )
+
+
+def main():
+    args = parse_args()
+    cfg = build_config(args)
+
+    from keras_object_detection_tpu.data.pipeline import YoloDataset
+    from keras_object_detection_tpu.train.loop import Trainer
+
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    train_ds = YoloDataset(
+        cfg.data.train_dir, cfg.model.image_size, cfg.data.batch_size,
+        max_boxes=cfg.data.max_boxes_per_image, shuffle=cfg.data.shuffle,
+        drop_remainder=cfg.data.drop_remainder,
+        num_workers=cfg.data.num_workers, seed=cfg.train.seed)
+    val_ds = YoloDataset(
+        cfg.data.val_dir, cfg.model.image_size, cfg.data.batch_size,
+        max_boxes=cfg.data.max_boxes_per_image,
+        num_workers=cfg.data.num_workers)
+
+    trainer = Trainer(cfg)
+    state = trainer.fit(train_ds, val_ds,
+                        early_stop_patience=args.early_stop_patience)
+
+    if cfg.data.test_dir:
+        # post-fit: reload best checkpoint and evaluate on test
+        # (ref train.py:244-259)
+        best = trainer.ckpt.restore(__import__("jax").device_get(state))
+        test_ds = YoloDataset(
+            cfg.data.test_dir, cfg.model.image_size, cfg.data.batch_size,
+            max_boxes=cfg.data.max_boxes_per_image)
+        results = trainer.evaluate(best, test_ds)
+        print("test results:", results)
+    trainer.ckpt.close()
+
+
+if __name__ == "__main__":
+    main()
