@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from keras_object_detection_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     import dataclasses
@@ -53,13 +57,16 @@ def main():
     key = jax.random.PRNGKey(1)
 
     # --- train throughput ---------------------------------------------------
+    # Sync via an actual value readback: on the axon relay platform,
+    # block_until_ready alone has been observed to return before execution
+    # finishes, producing phantom throughput.
     for _ in range(3):  # warmup + compile
         state, metrics = step(state, images, boxes, valid, key)
-    jax.block_until_ready(metrics)
+    float(metrics["total"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, images, boxes, valid, key)
-    jax.block_until_ready(metrics)
+    float(metrics["total"])
     train_time = time.perf_counter() - t0
     train_ips = steps * batch / train_time / n_chips
 

@@ -31,6 +31,10 @@ def main():
 
     import jax
 
+    from keras_object_detection_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from keras_object_detection_tpu.config import Config
     from keras_object_detection_tpu.export.litert import (
         export_stablehlo, export_tflite)

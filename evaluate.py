@@ -32,6 +32,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from keras_object_detection_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import numpy as np
 
     from keras_object_detection_tpu.config import Config

@@ -18,7 +18,9 @@ from typing import List, Tuple
 
 import numpy as np
 
-try:  # cv2 decodes ~2x faster than PIL and matches the reference's resize
+from keras_object_detection_tpu.data import native as _native
+
+try:  # cv2 matches the reference's resize bit-for-bit (eval-path parity)
     import cv2
 
     cv2.setNumThreads(0)  # same contention fix as ref dataset.py:62
@@ -27,6 +29,12 @@ except ImportError:  # pragma: no cover
     from PIL import Image
 
     _HAS_CV2 = False
+
+# Decode priority: cv2 (reference-exact resize) unless KOT_NATIVE=1 selects
+# the C++ loader (native/kot_loader.cpp — persistent thread pool, within
+# 1 LSB of cv2's resize); the native loader is also the fallback when cv2 is
+# absent.
+_USE_NATIVE = os.environ.get("KOT_NATIVE", "0") == "1" or not _HAS_CV2
 
 
 def list_examples(data_dir: str) -> List[str]:
@@ -60,7 +68,9 @@ def load_example(
     (cv2 default), matching the reference eval transform ``A.Resize``
     (ref dataset.py:143-146); normalization to [0, 1] happens on-device.
     """
-    if _HAS_CV2:
+    if _USE_NATIVE and _native.available():
+        img = _native.decode_resize_file(img_path, image_size, image_size)
+    elif _HAS_CV2:
         img = cv2.imread(img_path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)  # ref dataset.py:75-76
         img = cv2.resize(img, (image_size, image_size))

@@ -22,7 +22,9 @@ from keras_object_detection_tpu.core.grid import decode_grid
 from keras_object_detection_tpu.data.pipeline import YoloDataset
 from keras_object_detection_tpu.models.yolo import build_model
 from keras_object_detection_tpu.ops.map import MeanAveragePrecision
-from keras_object_detection_tpu.ops.nms import batched_non_max_suppression
+from keras_object_detection_tpu.ops.pallas_nms import (
+    auto_batched_non_max_suppression as batched_non_max_suppression,
+)
 from keras_object_detection_tpu.train.loop import TrainState, make_eval_step
 
 
@@ -40,19 +42,21 @@ class InferenceModel:
         model = build_model(config)
         g = config.grid
         e = config.eval
-        variables = {"params": params, "batch_stats": batch_stats}
+        # Variables are jit ARGUMENTS, not closure captures — capturing them
+        # would bake ~180 MB of weights into the HLO as literals.
+        self._variables = {"params": params, "batch_stats": batch_stats}
 
-        def forward(images_u8):
+        def forward(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             y = model.apply(variables, x, train=False)
             return y.reshape((-1,) + g.output_shape)
 
-        def forward_decode(images_u8):
-            return decode_grid(forward(images_u8), g.num_classes, g.num_boxes,
-                               g.grid)
+        def forward_decode(variables, images_u8):
+            return decode_grid(forward(variables, images_u8), g.num_classes,
+                               g.num_boxes, g.grid)
 
-        def forward_decode_nms(images_u8):
-            boxes = forward_decode(images_u8)
+        def forward_decode_nms(variables, images_u8):
+            boxes = forward_decode(variables, images_u8)
             return batched_non_max_suppression(
                 boxes, e.iou_threshold, e.conf_threshold)
 
@@ -61,13 +65,14 @@ class InferenceModel:
         self._forward_decode_nms = jax.jit(forward_decode_nms)
 
     def predict_raw(self, images_u8) -> jnp.ndarray:
-        return self._forward(jnp.asarray(images_u8))
+        return self._forward(self._variables, jnp.asarray(images_u8))
 
     def predict_decoded(self, images_u8) -> jnp.ndarray:
-        return self._forward_decode(jnp.asarray(images_u8))
+        return self._forward_decode(self._variables, jnp.asarray(images_u8))
 
     def predict(self, images_u8) -> Tuple[np.ndarray, np.ndarray]:
-        boxes, valid = self._forward_decode_nms(jnp.asarray(images_u8))
+        boxes, valid = self._forward_decode_nms(
+            self._variables, jnp.asarray(images_u8))
         return np.asarray(boxes), np.asarray(valid)
 
     def predict_single(self, image_u8) -> np.ndarray:
@@ -79,11 +84,12 @@ class InferenceModel:
         """Timed fused-graph runs (ref evaluate.py:37-47's 5-rep loop), with
         ``block_until_ready`` so device time is what's measured."""
         x = jnp.asarray(images_u8)
-        jax.block_until_ready(self._forward_decode_nms(x))  # compile
+        jax.block_until_ready(
+            self._forward_decode_nms(self._variables, x))  # compile
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            jax.block_until_ready(self._forward_decode_nms(x))
+            jax.block_until_ready(self._forward_decode_nms(self._variables, x))
             times.append((time.perf_counter() - t0) * 1000)
         times.sort()
         return {

@@ -38,7 +38,9 @@ import numpy as np
 
 from keras_object_detection_tpu.core.boxes import iou_cxcywh
 from keras_object_detection_tpu.core.grid import decode_grid
-from keras_object_detection_tpu.ops.nms import batched_non_max_suppression
+from keras_object_detection_tpu.ops.pallas_nms import (
+    auto_batched_non_max_suppression as batched_non_max_suppression,
+)
 
 
 @partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))

@@ -82,6 +82,9 @@ def main():
     args = parse_args()
     cfg = build_config(args)
 
+    from keras_object_detection_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from keras_object_detection_tpu.data.pipeline import YoloDataset
     from keras_object_detection_tpu.train.loop import Trainer
 
