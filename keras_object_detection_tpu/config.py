@@ -40,7 +40,9 @@ class ModelConfig:
     # bfloat16 activations keep the MXU fed at full rate; params stay f32.
     compute_dtype: str = "bfloat16"
     head_dense_units: int = 4960  # ref model.py:100
+    head_batchnorm: bool = True  # False = test_model's plain head (ref model.py:164-167)
     dropout_rate: float = 0.5
+    remat: bool = False  # rematerialize backbone activations (bigger batches)
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:
@@ -97,6 +99,9 @@ class TrainConfig:
     seed: int = 0
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
+    # "selected" = reference parity (ref loss.py:197); "all" = the YOLOv1
+    # paper's no-object term over every box slot (trains the second slot).
+    noobj_mode: str = "selected"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +178,17 @@ def tiny_cpu_config(data_dir: str = "") -> Config:
                         batch_size=2, drop_remainder=False),
         train=TrainConfig(epochs=5, optimizer="adam",
                           schedule=ScheduleConfig(kind="constant", base_lr=1e-3)),
+    )
+
+
+def test_model_config() -> Config:
+    """The reference's ``test_model`` variant (ref model.py:153-169):
+    MobileNetV2 + GAP + plain Dense(4096)/ReLU head, grid-reshaped output."""
+    return Config(
+        grid=GridConfig(grid=7, num_boxes=2, num_classes=20),
+        model=ModelConfig(backbone="mobilenetv2", head="gap_dense",
+                          image_size=448, head_dense_units=4096,
+                          head_batchnorm=False),
     )
 
 

@@ -45,8 +45,18 @@ class YoloDataset:
         drop_remainder: bool = False,
         num_workers: int = 8,
         seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
-        self.paths = np.array(list_examples(data_dir))
+        """``shard_index``/``shard_count``: multi-host input sharding — each
+        host reads a disjoint strided slice of the file list (the DCN-scale
+        analogue of the per-chip batch sharding; SURVEY.md §2.2). Defaults to
+        the single-host identity. Pass ``jax.process_index()`` /
+        ``jax.process_count()`` under ``jax.distributed``."""
+        paths = np.array(list_examples(data_dir))
+        if shard_count > 1:
+            paths = paths[shard_index::shard_count]
+        self.paths = paths
         if len(self.paths) == 0:
             raise FileNotFoundError(f"no *.jpg files under {data_dir!r}")
         self.image_size = image_size

@@ -33,12 +33,19 @@ def yolo_v1_loss_terms(
     num_boxes: int = 2,
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
+    noobj_mode: str = "selected",
 ) -> Dict[str, jnp.ndarray]:
     """Per-term scalars; ``total`` matches the reference loss exactly.
 
     Args:
       y_true: ``(batch, S, S, C + 5B)`` grid targets (only box slot 0 used).
       y_pred: same shape, raw model output.
+      noobj_mode: ``"selected"`` (reference parity, ref loss.py:197 — only the
+        responsible slot's confidence is penalized in empty cells, which
+        leaves the other slot's confidence completely untrained at object
+        cells and lets it win decode's argmax with a junk box) or ``"all"``
+        (the YOLOv1 paper's formulation, penalizing every slot — also what
+        the reference's older commented variant did, ref loss.py:81-82).
     """
     c = num_classes
     true_box = y_true[..., c + 1 : c + 5]  # (b,S,S,4)
@@ -61,6 +68,9 @@ def yolo_v1_loss_terms(
     # through the IoU term (ref loss.py:189 uses the live IoU tensor).
     pred_iou = jnp.sum(onehot * ious, axis=-1, keepdims=True)  # (b,S,S,1)
 
+    if noobj_mode not in ("selected", "all"):
+        raise ValueError(f"noobj_mode must be 'selected' or 'all', got {noobj_mode!r}")
+
     xy_loss = jnp.sum(obj * jnp.square(true_box[..., 0:2] - pred_box[..., 0:2]))
     wh_loss = jnp.sum(
         obj
@@ -71,7 +81,10 @@ def yolo_v1_loss_terms(
     )
     box_loss = xy_loss + wh_loss
     object_loss = jnp.sum(obj * jnp.square(pred_iou - pred_conf))
-    no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_conf))
+    if noobj_mode == "selected":
+        no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_conf))
+    else:  # "all": every slot's confidence pulled to 0 in empty cells
+        no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_confs))
     class_loss = jnp.sum(obj * jnp.square(y_true[..., :c] - y_pred[..., :c]))
 
     total = lambda_coord * box_loss + object_loss + lambda_noobj * no_object_loss + class_loss
@@ -91,10 +104,12 @@ def yolo_v1_loss(
     num_boxes: int = 2,
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
+    noobj_mode: str = "selected",
 ) -> jnp.ndarray:
     """Scalar YOLOv1 loss, parity twin of ``YoloV1Loss.call`` (ref loss.py:120-215)."""
     return yolo_v1_loss_terms(
-        y_true, y_pred, num_classes, num_boxes, lambda_coord, lambda_noobj
+        y_true, y_pred, num_classes, num_boxes, lambda_coord, lambda_noobj,
+        noobj_mode,
     )["total"]
 
 
@@ -103,14 +118,16 @@ class YoloV1Loss:
     (ref loss.py:100-119): ``loss = YoloV1Loss(num_classes=3); loss(y_true, y_pred)``."""
 
     def __init__(self, num_classes: int = 20, num_boxes: int = 2,
-                 lambda_coord: float = 5.0, lambda_noobj: float = 0.5):
+                 lambda_coord: float = 5.0, lambda_noobj: float = 0.5,
+                 noobj_mode: str = "selected"):
         self.num_classes = num_classes
         self.num_boxes = num_boxes
         self.lambda_coord = lambda_coord
         self.lambda_noobj = lambda_noobj
+        self.noobj_mode = noobj_mode
 
     def __call__(self, y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
         return yolo_v1_loss(
             y_true, y_pred, self.num_classes, self.num_boxes,
-            self.lambda_coord, self.lambda_noobj,
+            self.lambda_coord, self.lambda_noobj, self.noobj_mode,
         )

@@ -45,20 +45,25 @@ class ConvHead(nn.Module):
 
 class GAPDenseHead(nn.Module):
     """GAP dense head (ref model.py:97-107): GlobalAvgPool -> Dense(4960) ->
-    BN -> ReLU -> Dense(S*S*depth), reshaped to the grid."""
+    BN -> ReLU -> Dense(S*S*depth), reshaped to the grid.
+
+    ``use_batchnorm=False`` gives the ``test_model`` variant's plain
+    GAP -> Dense -> ReLU head (ref model.py:153-169)."""
 
     grid: int
     cell_depth: int
     units: int = 4960
+    use_batchnorm: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
         x = nn.Dense(self.units, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype,
-                         param_dtype=jnp.float32)(x)
+        if self.use_batchnorm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = nn.Dense(self.grid * self.grid * self.cell_depth, dtype=jnp.float32,
                      param_dtype=jnp.float32)(x.astype(jnp.float32))
@@ -108,18 +113,25 @@ class YoloV1(nn.Module):
     num_boxes: int = 2
     compute_dtype: Any = jnp.float32
     head_dense_units: int = 4960
+    head_batchnorm: bool = True
     flat_output: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         depth = self.num_classes + 5 * self.num_boxes
         x = images.astype(self.compute_dtype)
+        # NOTE: rematerialization is applied at the train-step level
+        # (train/loop.py) via jax.checkpoint around the whole forward —
+        # flax-module-level nn.remat would rename parameter scopes and break
+        # checkpoint compatibility between remat on/off.
         x = BACKBONES[self.backbone](self.compute_dtype)(x, train=train)
         if self.head == "conv":
             out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype)(
                 x, train=train)
         elif self.head == "gap_dense":
             out = GAPDenseHead(self.grid, depth, units=self.head_dense_units,
+                               use_batchnorm=self.head_batchnorm,
                                dtype=self.compute_dtype)(x, train=train)
             if self.flat_output:
                 return out.reshape(out.shape[0], -1)
@@ -148,4 +160,6 @@ def build_model(config: Config) -> YoloV1:
         num_boxes=g.num_boxes,
         compute_dtype=jnp.dtype(m.compute_dtype),
         head_dense_units=m.head_dense_units,
+        head_batchnorm=getattr(m, "head_batchnorm", True),
+        remat=getattr(m, "remat", False),
     )

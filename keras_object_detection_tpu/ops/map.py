@@ -152,13 +152,17 @@ class MeanAveragePrecision:
 
     def __init__(self, num_classes: int, num_boxes: int = 2, grid: int = 7,
                  iou_threshold: float = 0.5, conf_threshold: float = 0.4,
-                 map_iou_threshold: float = 0.5):
+                 map_iou_threshold: float = 0.5, nms_on_targets: bool = True):
         self._num_classes = num_classes
         self._num_boxes = num_boxes
         self._grid = grid
         self._iou_threshold = iou_threshold
         self._conf_threshold = conf_threshold
         self._map_iou_threshold = map_iou_threshold
+        # True = current reference behavior (GT boxes also pass through NMS,
+        # ref utils.py:480). False = the older MeanAveragePrecision2 variant
+        # (ref metric.py:81): GTs only confidence-filtered (> conf_threshold).
+        self._nms_on_targets = nms_on_targets
         self._update = jax.jit(self._make_update())
         self.reset_states()
 
@@ -166,8 +170,11 @@ class MeanAveragePrecision:
         def update(y_true, y_pred):
             tb = decode_grid(y_true, self._num_classes, self._num_boxes, self._grid)
             pb = decode_grid(y_pred, self._num_classes, self._num_boxes, self._grid)
-            tboxes, tvalid = batched_non_max_suppression(
-                tb, self._iou_threshold, self._conf_threshold)
+            if self._nms_on_targets:
+                tboxes, tvalid = batched_non_max_suppression(
+                    tb, self._iou_threshold, self._conf_threshold)
+            else:
+                tboxes, tvalid = tb, tb[..., 1] > self._conf_threshold
             pboxes, pvalid = batched_non_max_suppression(
                 pb, self._iou_threshold, self._conf_threshold)
             return tboxes, tvalid, pboxes, pvalid

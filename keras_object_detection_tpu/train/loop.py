@@ -101,17 +101,25 @@ def make_train_step(config: Config):
             lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
         )(aboxes, avalid)
 
-        def loss_fn(params):
-            outs = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"],
+        def forward(params, batch_stats, imgs):
+            return state.apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dkey},
             )
-            y_pred, updates = outs
+
+        if config.model.remat:
+            # Full-forward rematerialization: the backward pass recomputes
+            # activations instead of storing them — trades FLOPs for HBM so
+            # larger batches fit (name-stable, unlike module-level nn.remat).
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            y_pred, updates = forward(params, state.batch_stats, images)
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             terms = yolo_v1_loss_terms(
                 y_true, y_pred, g.num_classes, g.num_boxes,
-                t.lambda_coord, t.lambda_noobj)
+                t.lambda_coord, t.lambda_noobj, t.noobj_mode)
             return terms["total"], (terms, updates["batch_stats"])
 
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
@@ -140,7 +148,7 @@ def make_eval_step(config: Config):
         y_pred = y_pred.reshape(y_true.shape)
         terms = yolo_v1_loss_terms(
             y_true, y_pred, g.num_classes, g.num_boxes,
-            t.lambda_coord, t.lambda_noobj)
+            t.lambda_coord, t.lambda_noobj, t.noobj_mode)
         return terms["total"], y_true, y_pred
 
     return eval_step

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="-1 = all devices on the data mesh axis")
     p.add_argument("--early-stop-patience", type=int)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
+    p.add_argument("--profile-dir",
+                   help="capture a jax.profiler trace of the first epoch")
     return p.parse_args()
 
 
@@ -103,8 +107,31 @@ def main():
         num_workers=cfg.data.num_workers)
 
     trainer = Trainer(cfg)
-    state = trainer.fit(train_ds, val_ds,
-                        early_stop_patience=args.early_stop_patience)
+
+    state = None
+    if args.resume:
+        import jax
+
+        template = jax.device_get(trainer.init_state())
+        try:
+            state = trainer.ckpt.restore(template,
+                                         step=trainer.ckpt.latest_step)
+            print(f"resumed from step {int(state.step)}")
+        except FileNotFoundError:
+            print("no checkpoint to resume from; starting fresh")
+
+    if args.profile_dir:
+        from keras_object_detection_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            state = trainer.fit(train_ds, val_ds, epochs=1, state=state)
+        remaining = cfg.train.epochs - 1
+        if remaining > 0:
+            state = trainer.fit(train_ds, val_ds, epochs=remaining, state=state,
+                                early_stop_patience=args.early_stop_patience)
+    else:
+        state = trainer.fit(train_ds, val_ds, state=state,
+                            early_stop_patience=args.early_stop_patience)
 
     if cfg.data.test_dir:
         # post-fit: reload best checkpoint and evaluate on test
