@@ -76,6 +76,32 @@ def main():
     latb = infer.benchmark_latency(np.asarray(images), runs=10)
     eval_ips = batch / (latb["p50_ms"] / 1000.0) / n_chips
 
+    # --- mAP metric micro-bench (8 synthetic images, C=20 — identical
+    # workload to the recorded reference measurement) ------------------------
+    from keras_object_detection_tpu.ops.map import MeanAveragePrecision
+
+    mrng = np.random.RandomState(0)
+    yt = np.zeros((8, 7, 7, 30), np.float32)
+    for b in range(8):
+        for i in range(7):
+            for j in range(7):
+                if mrng.uniform() < 0.2:
+                    cls = mrng.randint(20)
+                    yt[b, i, j, cls] = 1
+                    yt[b, i, j, 20] = 1
+                    yt[b, i, j, 21:25] = mrng.uniform(
+                        [0, 0, 0.05, 0.05], [1, 1, 0.5, 0.5])
+    yp = (0.7 * yt + 0.45 * mrng.uniform(-0.2, 1, size=yt.shape)).astype(
+        np.float32)
+    metric = MeanAveragePrecision(20, 2)
+    metric.update_state(yt, yp)
+    metric.result()  # compile
+    metric.reset_states()
+    t0 = time.perf_counter()
+    metric.update_state(yt, yp)
+    map_val = metric.result()
+    map_ms = (time.perf_counter() - t0) * 1000
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     baseline = json.load(open(baseline_path))
 
@@ -93,6 +119,10 @@ def main():
             "eval_p50_ms_batch": round(latb["p50_ms"], 3),
             "eval_vs_baseline": round(
                 baseline["eval_p50_ms_batch1"] / lat1["p50_ms"], 1),
+            "map_metric_ms": round(map_ms, 2),
+            "map_metric_value": round(float(map_val), 4),
+            "map_metric_vs_baseline": round(
+                baseline["map_metric_ms_8imgs_c20"] / max(map_ms, 1e-6), 1),
             "baseline": baseline["description"][:80],
         },
     }

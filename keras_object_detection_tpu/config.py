@@ -102,6 +102,9 @@ class TrainConfig:
     # "selected" = reference parity (ref loss.py:197); "all" = the YOLOv1
     # paper's no-object term over every box slot (trains the second slot).
     noobj_mode: str = "selected"
+    # Use the fused Pallas loss kernel (ops/pallas_loss.py) instead of the
+    # jnp formulation — bit-equivalent values/grads (see tests); TPU only.
+    use_pallas_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

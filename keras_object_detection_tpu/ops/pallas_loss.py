@@ -1,0 +1,333 @@
+"""Pallas fused YOLOv1 loss (forward + hand-derived backward), the kernel
+SURVEY.md §7 earmarks for the per-cell responsible-box select + 4-term
+reduction (parity target: ref loss.py:100-215 via ``losses/yolo.py``).
+
+One kernel pass reads both grids from VMEM and reduces the whole loss to a
+scalar — no intermediate (b, S, S, ...) tensors ever round-trip to HBM. The
+backward pass is a second kernel with analytic gradients (including the IoU
+chain through the quirky corner arithmetic), registered via ``custom_vjp``.
+
+Semantics notes:
+- ``y_true`` is treated as a constant (labels); its cotangent is zero.
+- Gradients match ``jax.grad`` of the jnp loss to float32 tolerance,
+  including the subgradient conventions of min/max/clip/sign/abs at ties
+  (verified in tests/test_pallas_loss.py).
+- Only ``noobj_mode`` of the reference ("selected") and the paper variant
+  ("all") are supported, mirroring ``losses/yolo.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS_IOU = 1e-6
+_EPS_SQRT = 1e-6
+
+
+def _corners(cx, cy, w, h):
+    # reference expression: corner = (center +/- size) / 2 (ref utils.py:24-32)
+    return (cx - w) / 2.0, (cy - h) / 2.0, (cx + w) / 2.0, (cy + h) / 2.0
+
+
+def _iou_parts(tbox, pbox):
+    """Returns (iou, intermediates) for the reference IoU between the true
+    box (constant) and one predicted slot. All args are (N, 1) columns."""
+    tx1, ty1, tx2, ty2 = _corners(tbox[0], tbox[1], tbox[2], tbox[3])
+    px1, py1, px2, py2 = _corners(pbox[0], pbox[1], pbox[2], pbox[3])
+    ix1 = jnp.maximum(tx1, px1)
+    iy1 = jnp.maximum(ty1, py1)
+    ix2 = jnp.minimum(tx2, px2)
+    iy2 = jnp.minimum(ty2, py2)
+    iw_raw = ix2 - ix1
+    ih_raw = iy2 - iy1
+    iw = jnp.clip(iw_raw, 0.0, 1.0)
+    ih = jnp.clip(ih_raw, 0.0, 1.0)
+    inter = iw * ih
+    t_area = jnp.abs((tx2 - tx1) * (ty2 - ty1))
+    p_area = jnp.abs((px2 - px1) * (py2 - py1))
+    union = t_area + p_area - inter + _EPS_IOU
+    iou = inter / union
+    parts = dict(tx1=tx1, ty1=ty1, tx2=tx2, ty2=ty2, px1=px1, py1=py1,
+                 px2=px2, py2=py2, iw_raw=iw_raw, ih_raw=ih_raw, iw=iw, ih=ih,
+                 inter=inter, union=union, iou=iou)
+    return iou, parts
+
+
+def _split(t_ref, p_ref, num_classes, num_boxes):
+    """Column views of one row-block: returns (tcls, obj, tbox, slots) where
+    slots is a list of (conf, box4) per predicted slot."""
+    c = num_classes
+    t = t_ref[:]
+    p = p_ref[:]
+    tcls = t[:, :c]
+    obj = t[:, c : c + 1]
+    tbox = [t[:, c + 1 + k : c + 2 + k] for k in range(4)]
+    slots = []
+    for s in range(num_boxes):
+        base = c + 5 * s
+        conf = p[:, base : base + 1]
+        box = [p[:, base + 1 + k : base + 2 + k] for k in range(4)]
+        slots.append((conf, box))
+    pcls = p[:, :c]
+    return tcls, pcls, obj, tbox, slots
+
+
+def _select_best(tbox, slots):
+    """Responsible-slot selection (argmax IoU, ties -> lower index).
+    Returns (sel_onehots, ious, parts_list)."""
+    ious = []
+    parts_list = []
+    for conf, box in slots:
+        iou, parts = _iou_parts(tbox, box)
+        ious.append(iou)
+        parts_list.append(parts)
+    best = ious[0]
+    best_idx = jnp.zeros_like(best)
+    for s in range(1, len(slots)):
+        take = ious[s] > best  # strict: ties keep earlier slot (tf.argmax)
+        best = jnp.where(take, ious[s], best)
+        best_idx = jnp.where(take, float(s), best_idx)
+    onehots = [(best_idx == float(s)).astype(best.dtype) for s in range(len(slots))]
+    return onehots, ious, parts_list
+
+
+# Rows per grid step: every (BLOCK, 1) column temp pads its lane dim to 128,
+# so VMEM cost ~ BLOCK * 128 * 4B per live temp; 512 rows keeps the kernel
+# well under the 16 MB scoped-vmem limit at any batch size.
+_BLOCK_ROWS = 512
+
+
+def _forward_kernel(t_ref, p_ref, out_ref, *, num_classes, num_boxes,
+                    lambda_coord, lambda_noobj, noobj_mode):
+    tcls, pcls, obj, tbox, slots = _split(t_ref, p_ref, num_classes, num_boxes)
+    noobj = 1.0 - obj
+    onehots, ious, _ = _select_best(tbox, slots)
+
+    conf_sel = sum(o * s[0] for o, s in zip(onehots, slots))
+    iou_sel = sum(o * i for o, i in zip(onehots, ious))
+    box_sel = [sum(o * s[1][k] for o, s in zip(onehots, slots)) for k in range(4)]
+
+    xy = obj * ((tbox[0] - box_sel[0]) ** 2 + (tbox[1] - box_sel[1]) ** 2)
+    swh_t = [jnp.sqrt(tbox[2]), jnp.sqrt(tbox[3])]
+    swh_p = [jnp.sign(box_sel[2 + k]) * jnp.sqrt(jnp.abs(box_sel[2 + k]) + _EPS_SQRT)
+             for k in range(2)]
+    wh = obj * ((swh_t[0] - swh_p[0]) ** 2 + (swh_t[1] - swh_p[1]) ** 2)
+    objl = obj * (iou_sel - conf_sel) ** 2
+    if noobj_mode == "selected":
+        noobjl = noobj * conf_sel ** 2
+    else:
+        noobjl = noobj * sum(s[0] ** 2 for s in slots)
+    classl = jnp.sum(obj * (tcls - pcls) ** 2, axis=1, keepdims=True)
+
+    box_loss = jnp.sum(xy + wh)
+    object_loss = jnp.sum(objl)
+    no_object_loss = jnp.sum(noobjl)
+    class_loss = jnp.sum(classl)
+    total = (lambda_coord * box_loss + object_loss
+             + lambda_noobj * no_object_loss + class_loss)
+
+    # Accumulate partial sums across the (sequential) row-block grid.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for k in range(8):
+            out_ref[0, k] = 0.0
+
+    out_ref[0, 0] += total
+    out_ref[0, 1] += box_loss
+    out_ref[0, 2] += object_loss
+    out_ref[0, 3] += no_object_loss
+    out_ref[0, 4] += class_loss
+
+
+def _backward_kernel(t_ref, p_ref, g_ref, dp_ref, *, num_classes, num_boxes,
+                     lambda_coord, lambda_noobj, noobj_mode):
+    """Analytic d(total)/d y_pred, scaled by the scalar cotangent g."""
+    c = num_classes
+    tcls, pcls, obj, tbox, slots = _split(t_ref, p_ref, num_classes, num_boxes)
+    noobj = 1.0 - obj
+    onehots, ious, parts_list = _select_best(tbox, slots)
+
+    conf_sel = sum(o * s[0] for o, s in zip(onehots, slots))
+    iou_sel = sum(o * i for o, i in zip(onehots, ious))
+    box_sel = [sum(o * s[1][k] for o, s in zip(onehots, slots)) for k in range(4)]
+    g = g_ref[0, 0]
+
+    # Every output column is written exactly once below (class block, then
+    # conf + 4 box coords per slot), so no zero-init is needed. Mosaic has no
+    # scatter on values, so we write straight into the ref's column slices.
+    # class term: d = -2 g obj (t - p)
+    dp_ref[:, :c] = -2.0 * g * obj * (tcls - pcls)
+
+    u = iou_sel - conf_sel  # (N,1)
+
+    for s in range(num_boxes):
+        sel = onehots[s]
+        conf_s, box_s = slots[s]
+        parts = parts_list[s]
+        base = c + 5 * s
+
+        # --- confidence gradient ---
+        dconf = sel * (-2.0 * g * obj * u)  # object term
+        if noobj_mode == "selected":
+            dconf = dconf + sel * (2.0 * g * lambda_noobj * noobj * conf_s)
+        else:
+            dconf = dconf + 2.0 * g * lambda_noobj * noobj * conf_s
+        dp_ref[:, base : base + 1] = dconf
+
+        # --- xy gradient (coord term) ---
+        dx = sel * (-2.0 * g * lambda_coord * obj * (tbox[0] - box_s[0]))
+        dy = sel * (-2.0 * g * lambda_coord * obj * (tbox[1] - box_s[1]))
+
+        # --- wh gradient (coord term), s(p) = sign(p) sqrt(|p|+eps) ---
+        dwh = []
+        for k in range(2):
+            pk = box_s[2 + k]
+            s_p = jnp.sign(pk) * jnp.sqrt(jnp.abs(pk) + _EPS_SQRT)
+            # d s / d p = sign(p)^2 / (2 sqrt(|p|+eps))  (0 at p == 0,
+            # matching jax.grad through sign/abs/sqrt)
+            ds = jnp.sign(pk) ** 2 / (2.0 * jnp.sqrt(jnp.abs(pk) + _EPS_SQRT))
+            tgt = jnp.sqrt(tbox[2 + k])
+            dwh.append(sel * (-2.0 * g * lambda_coord * obj * (tgt - s_p) * ds))
+
+        # --- IoU chain from the object term: + 2 g obj u * d iou/d p ---
+        # iou = I/U, U = At + Ap - I + eps
+        # d iou/d x = (dI (U + I) - I dAp) / U^2 for each box coordinate.
+        iw, ih = parts["iw"], parts["ih"]
+        iw_in = ((parts["iw_raw"] > 0.0) & (parts["iw_raw"] < 1.0)).astype(jnp.float32)
+        ih_in = ((parts["ih_raw"] > 0.0) & (parts["ih_raw"] < 1.0)).astype(jnp.float32)
+        # subgradient convention of lax.max/min JVP: select(x < y, dx, dy)
+        # with x = true corner, y = pred corner -> ties route to pred.
+        g_x1 = (parts["tx1"] <= parts["px1"]).astype(jnp.float32)  # d ix1/d px1
+        g_y1 = (parts["ty1"] <= parts["py1"]).astype(jnp.float32)
+        g_x2 = (parts["tx2"] >= parts["px2"]).astype(jnp.float32)  # d ix2/d px2
+        g_y2 = (parts["ty2"] >= parts["py2"]).astype(jnp.float32)
+
+        # d iw/d p_corner (iw_raw = ix2 - ix1; corners = (cx -/+ w)/2)
+        diw_dpx = iw_in * (g_x2 - g_x1) * 0.5
+        diw_dpw = iw_in * (g_x2 + g_x1) * 0.5
+        dih_dpy = ih_in * (g_y2 - g_y1) * 0.5
+        dih_dph = ih_in * (g_y2 + g_y1) * 0.5
+
+        dI_dpx = ih * diw_dpx
+        dI_dpw = ih * diw_dpw
+        dI_dpy = iw * dih_dpy
+        dI_dph = iw * dih_dph
+
+        # Ap = |pw * ph| (corner widths equal pw, ph)
+        pw, ph = box_s[2], box_s[3]
+        sgn_area = jnp.sign(pw * ph)
+        dAp_dpw = sgn_area * ph
+        dAp_dph = sgn_area * pw
+
+        U = parts["union"]
+        I = parts["inter"]
+        scale = 2.0 * g * obj * u * sel / (U * U)
+        diou = [
+            scale * (dI_dpx * (U + I)),
+            scale * (dI_dpy * (U + I)),
+            scale * (dI_dpw * (U + I) - I * dAp_dpw),
+            scale * (dI_dph * (U + I) - I * dAp_dph),
+        ]
+
+        dp_ref[:, base + 1 : base + 2] = dx + diou[0]
+        dp_ref[:, base + 2 : base + 3] = dy + diou[1]
+        dp_ref[:, base + 3 : base + 4] = dwh[0] + diou[2]
+        dp_ref[:, base + 4 : base + 5] = dwh[1] + diou[3]
+
+
+def _flatten(y):
+    """(b, S, S, D) -> (N, D) with N zero-padded to a _BLOCK_ROWS multiple
+    (zero rows contribute exactly zero loss and zero gradient)."""
+    b = y.shape[0]
+    flat = y.reshape(b * y.shape[1] * y.shape[2], y.shape[3])
+    n = flat.shape[0]
+    padded = pl.cdiv(n, _BLOCK_ROWS) * _BLOCK_ROWS
+    if padded != n:
+        flat = jnp.pad(flat, ((0, padded - n), (0, 0)))
+    return flat
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def pallas_yolo_v1_loss(y_true, y_pred, num_classes, num_boxes=2,
+                        lambda_coord=5.0, lambda_noobj=0.5,
+                        noobj_mode="selected", interpret=False):
+    """Fused YOLOv1 loss scalar (y_true treated as constant labels)."""
+    return _forward(y_true, y_pred, num_classes, num_boxes, lambda_coord,
+                    lambda_noobj, noobj_mode, interpret)[0]
+
+
+def _forward(y_true, y_pred, num_classes, num_boxes, lambda_coord,
+             lambda_noobj, noobj_mode, interpret):
+    t = _flatten(y_true).astype(jnp.float32)
+    p = _flatten(y_pred).astype(jnp.float32)
+    kernel = functools.partial(
+        _forward_kernel, num_classes=num_classes, num_boxes=num_boxes,
+        lambda_coord=lambda_coord, lambda_noobj=lambda_noobj,
+        noobj_mode=noobj_mode)
+    n, d = t.shape
+    grid = (n // _BLOCK_ROWS,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        interpret=interpret,
+    )(t, p)
+    return out[0, 0], out
+
+
+def _fwd(y_true, y_pred, num_classes, num_boxes, lambda_coord, lambda_noobj,
+         noobj_mode, interpret):
+    total, _ = _forward(y_true, y_pred, num_classes, num_boxes, lambda_coord,
+                        lambda_noobj, noobj_mode, interpret)
+    return total, (y_true, y_pred)
+
+
+def _bwd(num_classes, num_boxes, lambda_coord, lambda_noobj, noobj_mode,
+         interpret, residuals, g):
+    y_true, y_pred = residuals
+    t = _flatten(y_true).astype(jnp.float32)
+    p = _flatten(y_pred).astype(jnp.float32)
+    kernel = functools.partial(
+        _backward_kernel, num_classes=num_classes, num_boxes=num_boxes,
+        lambda_coord=lambda_coord, lambda_noobj=lambda_noobj,
+        noobj_mode=noobj_mode)
+    n, d = t.shape
+    grid = (n // _BLOCK_ROWS,)
+    dp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(t, p, jnp.asarray(g, jnp.float32).reshape(1, 1))
+    rows = int(np.prod(y_pred.shape[:-1]))
+    dp = dp[:rows].reshape(y_pred.shape).astype(y_pred.dtype)
+    return (jnp.zeros_like(y_true), dp)
+
+
+pallas_yolo_v1_loss.defvjp(_fwd, _bwd)

@@ -117,9 +117,18 @@ def make_train_step(config: Config):
         def loss_fn(params):
             y_pred, updates = forward(params, state.batch_stats, images)
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
-            terms = yolo_v1_loss_terms(
-                y_true, y_pred, g.num_classes, g.num_boxes,
-                t.lambda_coord, t.lambda_noobj, t.noobj_mode)
+            if t.use_pallas_loss:
+                from keras_object_detection_tpu.ops.pallas_loss import (
+                    pallas_yolo_v1_loss)
+
+                total = pallas_yolo_v1_loss(
+                    y_true, y_pred, g.num_classes, g.num_boxes,
+                    t.lambda_coord, t.lambda_noobj, t.noobj_mode)
+                terms = {"total": total}
+            else:
+                terms = yolo_v1_loss_terms(
+                    y_true, y_pred, g.num_classes, g.num_boxes,
+                    t.lambda_coord, t.lambda_noobj, t.noobj_mode)
             return terms["total"], (terms, updates["batch_stats"])
 
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
