@@ -226,8 +226,14 @@ class Trainer:
         epochs: Optional[int] = None,
         state: Optional[TrainState] = None,
         early_stop_patience: Optional[int] = None,
+        reduce_on_plateau: Optional[Tuple[float, int, float]] = None,
         verbose: bool = True,
     ) -> TrainState:
+        """``reduce_on_plateau=(factor, patience, min_lr)`` reproduces the
+        reference's ReduceLROnPlateau callback (constructed at ref
+        train.py:143-148): after ``patience`` epochs without val_loss
+        improvement, scale the scheduled LR by ``factor`` (floored at
+        ``min_lr``)."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.train.epochs
         lrs = epoch_schedule(cfg.train.schedule, epochs)
@@ -237,8 +243,12 @@ class Trainer:
 
         best = float("inf")
         since_best = 0
+        lr_scale = 1.0
         for epoch in range(epochs):
-            state = set_learning_rate(state, float(lrs[epoch]))
+            lr = float(lrs[epoch]) * lr_scale
+            if reduce_on_plateau is not None:
+                lr = max(lr, reduce_on_plateau[2])
+            state = set_learning_rate(state, lr)
             t0 = time.time()
             train_metrics: Dict[str, float] = {}
             nb = 0
@@ -248,7 +258,7 @@ class Trainer:
                 for k, v in metrics.items():
                     train_metrics[k] = train_metrics.get(k, 0.0) + float(v)
             train_metrics = {k: v / max(nb, 1) for k, v in train_metrics.items()}
-            train_metrics["lr"] = float(lrs[epoch])
+            train_metrics["lr"] = lr
             train_metrics["epoch_time_s"] = time.time() - t0
             train_metrics["images_per_s"] = (
                 nb * train_ds.batch_size / max(train_metrics["epoch_time_s"], 1e-9))
@@ -265,6 +275,13 @@ class Trainer:
                     since_best = 0
                 else:
                     since_best += 1
+                    if (reduce_on_plateau is not None
+                            and since_best > 0
+                            and since_best % reduce_on_plateau[1] == 0):
+                        lr_scale *= reduce_on_plateau[0]
+                        if verbose:
+                            print(f"plateau: scaling LR by "
+                                  f"{reduce_on_plateau[0]} -> scale {lr_scale:.4g}")
                 self.ckpt.save(epoch, jax.device_get(state),
                                {"val_loss": val["val_loss"]})
             else:
