@@ -66,6 +66,10 @@ def main():
         lat = model.benchmark_latency(img[None], runs=args.latency_runs)
         print(f"fused forward+decode+NMS: p50 {lat['p50_ms']:.2f} ms "
               f"(min {lat['min_ms']:.2f}, mean {lat['mean_ms']:.2f}, batch 1)")
+        staged = model.benchmark_latency(img[None], runs=args.latency_runs,
+                                         staged=True)
+        print(f"staged model->decode->NMS:  p50 {staged['p50_ms']:.2f} ms "
+              f"(the reference's two-variant comparison, ref evaluate.py:37-47)")
         kept = model.predict_single(img)
         print(f"detections ({len(kept)}):")
         for b in kept:

@@ -80,16 +80,39 @@ class InferenceModel:
         boxes, valid = self.predict(np.asarray(image_u8)[None])
         return boxes[0][valid[0]]
 
-    def benchmark_latency(self, images_u8, runs: int = 5) -> Dict[str, float]:
-        """Timed fused-graph runs (ref evaluate.py:37-47's 5-rep loop), with
-        ``block_until_ready`` so device time is what's measured."""
+    def benchmark_latency(self, images_u8, runs: int = 5,
+                          staged: bool = False) -> Dict[str, float]:
+        """Timed serving runs (ref evaluate.py:37-47's two timed variants).
+
+        ``staged=False`` times the fused forward+decode+NMS graph;
+        ``staged=True`` times the reference's 'raw model + separate
+        post-processing' style — three dispatches instead of one.
+        """
         x = jnp.asarray(images_u8)
-        jax.block_until_ready(
-            self._forward_decode_nms(self._variables, x))  # compile
+
+        if staged:
+            from keras_object_detection_tpu.core.grid import decode_grid as _dg
+            from keras_object_detection_tpu.ops.pallas_nms import (
+                auto_batched_non_max_suppression as _nms)
+
+            g = self.config.grid
+            e = self.config.eval
+            decode = jax.jit(
+                lambda y: _dg(y, g.num_classes, g.num_boxes, g.grid))
+            nms = jax.jit(
+                lambda b: _nms(b, e.iou_threshold, e.conf_threshold))
+
+            def run(x):
+                return nms(decode(self._forward(self._variables, x)))
+        else:
+            def run(x):
+                return self._forward_decode_nms(self._variables, x)
+
+        jax.block_until_ready(run(x))  # compile
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            jax.block_until_ready(self._forward_decode_nms(self._variables, x))
+            jax.block_until_ready(run(x))
             times.append((time.perf_counter() - t0) * 1000)
         times.sort()
         return {

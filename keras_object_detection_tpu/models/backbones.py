@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from keras_object_detection_tpu.models.darknet import (
     ARCHITECTURE_CONFIG,
+    DARKNET_MICRO_CONFIG,
     DARKNET_TINY_CONFIG,
     DarknetBackbone,
 )
@@ -122,9 +123,14 @@ def _darknet_tiny(dtype):
     return DarknetBackbone(architecture=DARKNET_TINY_CONFIG, dtype=dtype)
 
 
+def _darknet_micro(dtype):
+    return DarknetBackbone(architecture=DARKNET_MICRO_CONFIG, dtype=dtype)
+
+
 BACKBONES = {
     "darknet24": _darknet24,
     "darknet_tiny": _darknet_tiny,
+    "darknet_micro": _darknet_micro,
     "vgg16": lambda dtype: VGG16Backbone(dtype=dtype),
     "mobilenetv2": lambda dtype: MobileNetV2Backbone(dtype=dtype),
 }

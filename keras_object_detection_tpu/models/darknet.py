@@ -37,6 +37,17 @@ ARCHITECTURE_CONFIG: Sequence[Any] = (
     (3, 1024, 1, 1),
 )
 
+# Net-new micro variant for fast tests (56x56 -> 7x7, 3 pools).
+DARKNET_MICRO_CONFIG: Sequence[Any] = (
+    (3, 16, 1, 1),
+    "M",
+    (3, 32, 1, 1),
+    "M",
+    (3, 64, 1, 1),
+    "M",
+    (3, 64, 1, 1),
+)
+
 # Net-new small variant for CPU tests / BASELINE config 1 (224x224 -> 7x7).
 DARKNET_TINY_CONFIG: Sequence[Any] = (
     (3, 16, 1, 1),

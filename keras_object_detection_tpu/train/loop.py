@@ -187,7 +187,10 @@ class Trainer:
                                    use_tensorboard=use_tensorboard)
         self.ckpt = CheckpointManager(config.train.checkpoint_dir)
         self.map_metric = MeanAveragePrecision(
-            config.grid.num_classes, config.grid.num_boxes, config.grid.grid)
+            config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
+            iou_threshold=config.eval.iou_threshold,
+            conf_threshold=config.eval.conf_threshold,
+            map_iou_threshold=config.eval.map_iou_threshold)
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(
