@@ -76,6 +76,20 @@ def main():
     latb = infer.benchmark_latency(np.asarray(images), runs=10)
     eval_ips = batch / (latb["p50_ms"] / 1000.0) / n_chips
 
+    # --- Pallas NMS kernel p50 (the BASELINE "p50 NMS latency" metric) ------
+    from keras_object_detection_tpu.ops.pallas_nms import (
+        pallas_batched_non_max_suppression)
+
+    dec = infer.predict_decoded(np.asarray(images))
+    jax.block_until_ready(pallas_batched_non_max_suppression(dec))
+    nms_times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pallas_batched_non_max_suppression(dec))
+        nms_times.append((time.perf_counter() - t0) * 1000)
+    nms_times.sort()
+    nms_p50 = nms_times[len(nms_times) // 2]
+
     # --- mAP metric micro-bench (8 synthetic images, C=20 — identical
     # workload to the recorded reference measurement) ------------------------
     from keras_object_detection_tpu.ops.map import MeanAveragePrecision
@@ -119,6 +133,7 @@ def main():
             "eval_p50_ms_batch": round(latb["p50_ms"], 3),
             "eval_vs_baseline": round(
                 baseline["eval_p50_ms_batch1"] / lat1["p50_ms"], 1),
+            "nms_p50_ms_batch": round(nms_p50, 4),
             "map_metric_ms": round(map_ms, 2),
             "map_metric_value": round(float(map_val), 4),
             "map_metric_vs_baseline": round(

@@ -12,7 +12,7 @@ One dataclass tree covers the five BASELINE.json configs:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

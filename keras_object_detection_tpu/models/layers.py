@@ -8,7 +8,7 @@ stay float32 (``param_dtype``) for stable training.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

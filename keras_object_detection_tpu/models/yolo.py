@@ -11,7 +11,7 @@ at ref train.py:208).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -30,8 +30,6 @@ Reproduced parity details:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

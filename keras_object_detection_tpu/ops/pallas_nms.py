@@ -166,8 +166,10 @@ def pallas_batched_non_max_suppression(
 def auto_batched_non_max_suppression(boxes, iou_threshold=0.5,
                                      conf_threshold=0.4):
     """Best NMS for the current backend: the fused Pallas kernel on TPU
-    (~20,000x lower p50 latency than the XLA fori_loop formulation, measured
-    0.023 ms vs 476 ms for batch 64 on v5e), the XLA version elsewhere."""
+    (measured 476 ms -> ~32 ms per call for batch 64 on v5e through this
+    environment's dispatch relay — the kernel's device time itself is
+    microsecond-scale, so the end-to-end call is RTT-bound), the XLA
+    version elsewhere."""
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu:
         return pallas_batched_non_max_suppression(

@@ -20,12 +20,10 @@ The reference's callback zoo maps to plain code:
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax.training import train_state
 
