@@ -115,22 +115,27 @@ class MobileNetV2Backbone(nn.Module):
         return x
 
 
-def _darknet24(dtype):
-    return DarknetBackbone(architecture=ARCHITECTURE_CONFIG, dtype=dtype)
+def _darknet24(dtype, activation="relu"):
+    return DarknetBackbone(architecture=ARCHITECTURE_CONFIG,
+                           activation=activation, dtype=dtype)
 
 
-def _darknet_tiny(dtype):
-    return DarknetBackbone(architecture=DARKNET_TINY_CONFIG, dtype=dtype)
+def _darknet_tiny(dtype, activation="relu"):
+    return DarknetBackbone(architecture=DARKNET_TINY_CONFIG,
+                           activation=activation, dtype=dtype)
 
 
-def _darknet_micro(dtype):
-    return DarknetBackbone(architecture=DARKNET_MICRO_CONFIG, dtype=dtype)
+def _darknet_micro(dtype, activation="relu"):
+    return DarknetBackbone(architecture=DARKNET_MICRO_CONFIG,
+                           activation=activation, dtype=dtype)
 
 
+# activation applies to the darknet family (the reference's cnn_block knob,
+# ref model.py:62-63); VGG16/MobileNetV2 keep their canonical activations.
 BACKBONES = {
     "darknet24": _darknet24,
     "darknet_tiny": _darknet_tiny,
     "darknet_micro": _darknet_micro,
-    "vgg16": lambda dtype: VGG16Backbone(dtype=dtype),
-    "mobilenetv2": lambda dtype: MobileNetV2Backbone(dtype=dtype),
+    "vgg16": lambda dtype, activation="relu": VGG16Backbone(dtype=dtype),
+    "mobilenetv2": lambda dtype, activation="relu": MobileNetV2Backbone(dtype=dtype),
 }

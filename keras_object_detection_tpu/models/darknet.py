@@ -68,6 +68,7 @@ class DarknetBackbone(nn.Module):
     """Walks an architecture table (ref model.py:67-85 ``yolov1_backbone``)."""
 
     architecture: Sequence[Any] = ARCHITECTURE_CONFIG
+    activation: str = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,12 +80,15 @@ class DarknetBackbone(nn.Module):
                 x = max_pool_2x2(x)
             elif len(entry) == 4 and all(isinstance(v, int) for v in entry):
                 k, f, s, p = entry
-                x = ConvBlock(f, k, s, p, dtype=self.dtype)(x, train=train)
+                x = ConvBlock(f, k, s, p, activation=self.activation,
+                              dtype=self.dtype)(x, train=train)
             else:  # (conv_a, conv_b, repeats)
                 conv_a, conv_b, repeats = entry
                 for _ in range(repeats):
                     x = ConvBlock(conv_a[1], conv_a[0], conv_a[2], conv_a[3],
+                                  activation=self.activation,
                                   dtype=self.dtype)(x, train=train)
                     x = ConvBlock(conv_b[1], conv_b[0], conv_b[2], conv_b[3],
+                                  activation=self.activation,
                                   dtype=self.dtype)(x, train=train)
         return x

@@ -29,6 +29,10 @@ class ConvBlock(nn.Module):
     kernel_size: int
     strides: int = 1
     padding: Union[int, str] = 0
+    # "relu" = reference parity (ref model.py:63); "leaky_relu" = the original
+    # YOLOv1 paper's LeakyReLU(0.1), present but commented in the reference
+    # (ref model.py:62).
+    activation: str = "relu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +57,8 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        if self.activation == "leaky_relu":
+            return nn.leaky_relu(x, negative_slope=0.1)
         return nn.relu(x)
 
 

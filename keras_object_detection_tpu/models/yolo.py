@@ -114,6 +114,7 @@ class YoloV1(nn.Module):
     compute_dtype: Any = jnp.float32
     head_dense_units: int = 4960
     head_batchnorm: bool = True
+    activation: str = "relu"  # darknet conv activation; "leaky_relu" = paper
     flat_output: bool = False
     remat: bool = False
 
@@ -125,7 +126,8 @@ class YoloV1(nn.Module):
         # (train/loop.py) via jax.checkpoint around the whole forward —
         # flax-module-level nn.remat would rename parameter scopes and break
         # checkpoint compatibility between remat on/off.
-        x = BACKBONES[self.backbone](self.compute_dtype)(x, train=train)
+        x = BACKBONES[self.backbone](self.compute_dtype, self.activation)(
+            x, train=train)
         if self.head == "conv":
             out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype)(
                 x, train=train)
@@ -161,5 +163,6 @@ def build_model(config: Config) -> YoloV1:
         compute_dtype=jnp.dtype(m.compute_dtype),
         head_dense_units=m.head_dense_units,
         head_batchnorm=getattr(m, "head_batchnorm", True),
+        activation=getattr(m, "activation", "relu"),
         remat=getattr(m, "remat", False),
     )
