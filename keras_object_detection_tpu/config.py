@@ -69,6 +69,10 @@ class DataConfig:
     max_boxes_per_image: int = 64  # static padding bound for on-device encode
     prefetch: int = 2
     num_workers: int = 8
+    # Keep decoded uint8 images in host RAM after epoch 1 (augmentation is
+    # on-device, so the host work is identical every epoch). ~600 KB/image
+    # at 448x448.
+    cache_in_memory: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +110,9 @@ class TrainConfig:
     # Use the fused Pallas loss kernel (ops/pallas_loss.py) instead of the
     # jnp formulation — bit-equivalent values/grads (see tests); TPU only.
     use_pallas_loss: bool = False
+    # "mse" = reference parity; "diou" = Distance-IoU box regression
+    # (Zheng et al. 2019, see PAPERS.md) as an opt-in improvement.
+    box_loss_mode: str = "mse"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,12 +47,19 @@ class YoloDataset:
         seed: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
+        cache_in_memory: bool = False,
     ):
         """``shard_index``/``shard_count``: multi-host input sharding — each
         host reads a disjoint strided slice of the file list (the DCN-scale
         analogue of the per-chip batch sharding; SURVEY.md §2.2). Defaults to
         the single-host identity. Pass ``jax.process_index()`` /
-        ``jax.process_count()`` under ``jax.distributed``."""
+        ``jax.process_count()`` under ``jax.distributed``.
+
+        ``cache_in_memory``: keep decoded/resized uint8 images + labels in
+        RAM after first read. Since augmentation runs on-device, the host
+        work per example is identical every epoch — caching removes the JPEG
+        decode from the steady-state input path entirely (~600 KB/image at
+        448 square; size accordingly)."""
         paths = np.array(list_examples(data_dir))
         if shard_count > 1:
             paths = paths[shard_index::shard_count]
@@ -66,6 +73,7 @@ class YoloDataset:
         self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
         self._pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+        self._cache: Optional[dict] = {} if cache_in_memory else None
 
     def __len__(self) -> int:
         n, b = len(self.paths), self.batch_size
@@ -77,11 +85,19 @@ class YoloDataset:
     def num_examples(self) -> int:
         return len(self.paths)
 
+    def _load_one(self, path: str):
+        if self._cache is not None:
+            hit = self._cache.get(path)
+            if hit is not None:
+                return hit
+        ex = load_example(path, self.image_size, self.max_boxes)
+        if self._cache is not None:
+            self._cache[path] = ex
+        return ex
+
     def _load_batch(self, paths) -> Batch:
         size = self.image_size
-        results = list(
-            self._pool.map(
-                lambda p: load_example(p, size, self.max_boxes), paths))
+        results = list(self._pool.map(self._load_one, paths))
         images = np.zeros((self.batch_size, size, size, 3), np.uint8)
         boxes = np.zeros((self.batch_size, self.max_boxes, 5), np.float32)
         valid = np.zeros((self.batch_size, self.max_boxes), bool)

@@ -26,6 +26,26 @@ import jax.numpy as jnp
 from keras_object_detection_tpu.core.boxes import iou_cxcywh
 
 
+def _diou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell DIoU regression loss (..., 1); standard geometric IoU."""
+    tx, ty, tw, th = (true_box[..., k : k + 1] for k in range(4))
+    px, py, pw, ph = (pred_box[..., k : k + 1] for k in range(4))
+    pw = jnp.abs(pw)
+    ph = jnp.abs(ph)
+    tx1, ty1, tx2, ty2 = tx - tw / 2, ty - th / 2, tx + tw / 2, ty + th / 2
+    px1, py1, px2, py2 = px - pw / 2, py - ph / 2, px + pw / 2, py + ph / 2
+    iw = jnp.maximum(jnp.minimum(tx2, px2) - jnp.maximum(tx1, px1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ty2, py2) - jnp.maximum(ty1, py1), 0.0)
+    inter = iw * ih
+    union = tw * th + pw * ph - inter + 1e-9
+    iou = inter / union
+    center_d2 = (tx - px) ** 2 + (ty - py) ** 2
+    cw = jnp.maximum(tx2, px2) - jnp.minimum(tx1, px1)
+    ch = jnp.maximum(ty2, py2) - jnp.minimum(ty1, py1)
+    diag2 = cw ** 2 + ch ** 2 + 1e-9
+    return 1.0 - iou + center_d2 / diag2
+
+
 def yolo_v1_loss_terms(
     y_true: jnp.ndarray,
     y_pred: jnp.ndarray,
@@ -34,8 +54,11 @@ def yolo_v1_loss_terms(
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
     noobj_mode: str = "selected",
+    box_loss_mode: str = "mse",
 ) -> Dict[str, jnp.ndarray]:
-    """Per-term scalars; ``total`` matches the reference loss exactly.
+    """Per-term scalars; ``total`` matches the reference loss exactly
+    (with the default ``box_loss_mode="mse"``; ``"diou"`` swaps the xy/wh
+    MSE terms for the Distance-IoU regression loss).
 
     Args:
       y_true: ``(batch, S, S, C + 5B)`` grid targets (only box slot 0 used).
@@ -70,16 +93,26 @@ def yolo_v1_loss_terms(
 
     if noobj_mode not in ("selected", "all"):
         raise ValueError(f"noobj_mode must be 'selected' or 'all', got {noobj_mode!r}")
+    if box_loss_mode not in ("mse", "diou"):
+        raise ValueError(
+            f"box_loss_mode must be 'mse' or 'diou', got {box_loss_mode!r}")
 
-    xy_loss = jnp.sum(obj * jnp.square(true_box[..., 0:2] - pred_box[..., 0:2]))
-    wh_loss = jnp.sum(
-        obj
-        * jnp.square(
-            jnp.sqrt(true_box[..., 2:4])
-            - jnp.sign(pred_box[..., 2:4]) * jnp.sqrt(jnp.abs(pred_box[..., 2:4]) + 1e-6)
+    if box_loss_mode == "mse":
+        xy_loss = jnp.sum(obj * jnp.square(true_box[..., 0:2] - pred_box[..., 0:2]))
+        wh_loss = jnp.sum(
+            obj
+            * jnp.square(
+                jnp.sqrt(true_box[..., 2:4])
+                - jnp.sign(pred_box[..., 2:4]) * jnp.sqrt(jnp.abs(pred_box[..., 2:4]) + 1e-6)
+            )
         )
-    )
-    box_loss = xy_loss + wh_loss
+        box_loss = xy_loss + wh_loss
+    else:
+        # Distance-IoU regression loss (Zheng et al. 2019, arXiv:1911.08287,
+        # see PAPERS.md): 1 - IoU + center-distance^2 / enclosing-diagonal^2,
+        # with standard (non-quirky) geometric IoU. Opt-in improvement over
+        # the reference's MSE terms.
+        box_loss = jnp.sum(obj * _diou_loss(true_box, pred_box))
     object_loss = jnp.sum(obj * jnp.square(pred_iou - pred_conf))
     if noobj_mode == "selected":
         no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_conf))

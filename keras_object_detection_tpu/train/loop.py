@@ -126,7 +126,8 @@ def make_train_step(config: Config):
             else:
                 terms = yolo_v1_loss_terms(
                     y_true, y_pred, g.num_classes, g.num_boxes,
-                    t.lambda_coord, t.lambda_noobj, t.noobj_mode)
+                    t.lambda_coord, t.lambda_noobj, t.noobj_mode,
+                    t.box_loss_mode)
             return terms["total"], (terms, updates["batch_stats"])
 
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
@@ -155,7 +156,7 @@ def make_eval_step(config: Config):
         y_pred = y_pred.reshape(y_true.shape)
         terms = yolo_v1_loss_terms(
             y_true, y_pred, g.num_classes, g.num_boxes,
-            t.lambda_coord, t.lambda_noobj, t.noobj_mode)
+            t.lambda_coord, t.lambda_noobj, t.noobj_mode, t.box_loss_mode)
         return terms["total"], y_true, y_pred
 
     return eval_step

@@ -159,3 +159,22 @@ def test_augment_crop_drops_low_visibility():
         assert ov[1]  # big center box always survives a 0.5-0.6 area crop
         dropped_corner += int(~ov[0])
     assert dropped_corner > 0  # corner box dropped in some crops
+
+
+def test_cache_in_memory_identical_and_faster(data_dir):
+    import time
+
+    ds_nc = YoloDataset(data_dir, 224, 5)
+    ds_c = YoloDataset(data_dir, 224, 5, cache_in_memory=True)
+    a = next(ds_nc.epoch())
+    b1 = next(ds_c.epoch())  # populates cache
+    t0 = time.perf_counter()
+    b2 = next(ds_c.epoch())  # served from cache
+    cached_t = time.perf_counter() - t0
+    np.testing.assert_array_equal(a[0], b1[0])
+    np.testing.assert_array_equal(b1[0], b2[0])
+    np.testing.assert_array_equal(b1[1], b2[1])
+    t0 = time.perf_counter()
+    next(ds_nc.epoch())
+    uncached_t = time.perf_counter() - t0
+    assert cached_t < uncached_t

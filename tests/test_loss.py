@@ -67,3 +67,26 @@ def test_loss_jit_compiles():
     y = jnp.zeros((1, 7, 7, 13), dtype=jnp.float32)
     fn = jax.jit(lambda t, p: yolo_v1_loss(t, p, 3, 2))
     assert np.isfinite(float(fn(y, y)))
+
+
+def test_diou_box_loss_mode():
+    """Opt-in DIoU regression (PAPERS.md, arXiv:1911.08287): zero for a
+    perfect box, positive and finite-gradient otherwise."""
+    y = np.zeros((1, 7, 7, 13), np.float32)
+    y[:, 2, 2, 0] = 1
+    y[:, 2, 2, 3] = 1
+    y[:, 2, 2, 4:8] = [0.5, 0.5, 0.2, 0.2]
+    terms_perfect = yolo_v1_loss_terms(
+        jnp.asarray(y), jnp.asarray(y), 3, 2, box_loss_mode="diou")
+    assert float(terms_perfect["box_loss"]) < 1e-5
+
+    y_bad = y.copy()
+    y_bad[:, 2, 2, 4:8] = [0.2, 0.8, 0.05, 0.05]
+    terms_bad = yolo_v1_loss_terms(
+        jnp.asarray(y), jnp.asarray(y_bad), 3, 2, box_loss_mode="diou")
+    assert float(terms_bad["box_loss"]) > 0.5
+
+    g = jax.grad(lambda p: yolo_v1_loss_terms(
+        jnp.asarray(y), p, 3, 2, box_loss_mode="diou")["total"])(
+            jnp.asarray(y_bad))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -28,7 +28,8 @@ def parse_args():
     p.add_argument("--test-dir")
     p.add_argument("--preset", choices=["tiny", "voc"], default="voc")
     p.add_argument("--backbone",
-                   choices=["darknet24", "darknet_tiny", "vgg16", "mobilenetv2"])
+                   choices=["darknet24", "darknet_tiny", "darknet_micro",
+                            "vgg16", "mobilenetv2"])
     p.add_argument("--head", choices=["conv", "gap_dense", "flatten_dense"])
     p.add_argument("--image-size", type=int)
     p.add_argument("--num-classes", type=int)
@@ -45,6 +46,8 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="-1 = all devices on the data mesh axis")
     p.add_argument("--early-stop-patience", type=int)
+    p.add_argument("--cache-in-memory", action="store_true",
+                   help="cache decoded uint8 images in host RAM across epochs")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
@@ -74,7 +77,8 @@ def build_config(args):
         model=over(cfg.model, backbone=args.backbone, head=args.head,
                    image_size=args.image_size, compute_dtype=args.compute_dtype),
         data=over(cfg.data, train_dir=train_dir, val_dir=val_dir,
-                  test_dir=test_dir, batch_size=args.batch_size),
+                  test_dir=test_dir, batch_size=args.batch_size,
+                  cache_in_memory=args.cache_in_memory or None),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed),
@@ -100,7 +104,8 @@ def main():
         cfg.data.train_dir, cfg.model.image_size, cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image, shuffle=cfg.data.shuffle,
         drop_remainder=cfg.data.drop_remainder,
-        num_workers=cfg.data.num_workers, seed=cfg.train.seed)
+        num_workers=cfg.data.num_workers, seed=cfg.train.seed,
+        cache_in_memory=cfg.data.cache_in_memory)
     val_ds = YoloDataset(
         cfg.data.val_dir, cfg.model.image_size, cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image,
