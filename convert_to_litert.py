@@ -27,6 +27,10 @@ def main():
                    help="YOLO-format dir for int8 calibration images "
                         "(default: random data, ref convert_to_tflite.py:9-13)")
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--bench", action="store_true",
+                   help="time the exported LiteRT model (inference latency "
+                        "bench, BASELINE config 5)")
+    p.add_argument("--bench-runs", type=int, default=20)
     args = p.parse_args()
 
     import jax
@@ -69,6 +73,33 @@ def main():
                              representative_dataset=rep,
                              batch_size=args.batch_size)
     print(f"wrote {args.output} ({len(blob)} bytes)")
+
+    if args.bench and args.format == "tflite":
+        import time
+
+        import numpy as np
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_content=blob)
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        rng = np.random.RandomState(0)
+        if inp["dtype"] == np.uint8:
+            x = rng.randint(0, 255, size=inp["shape"], dtype=np.uint8)
+        else:
+            x = rng.rand(*inp["shape"]).astype(np.float32)
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()  # warmup
+        times = []
+        for _ in range(args.bench_runs):
+            t0 = time.perf_counter()
+            interp.set_tensor(inp["index"], x)
+            interp.invoke()
+            times.append((time.perf_counter() - t0) * 1000)
+        times.sort()
+        kind = "int8" if args.int8 else "float"
+        print(f"LiteRT {kind} inference: p50 {times[len(times)//2]:.2f} ms "
+              f"(min {times[0]:.2f}, batch {inp['shape'][0]}, CPU)")
     ckpt.close()
 
 
