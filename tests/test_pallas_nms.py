@@ -70,3 +70,32 @@ def test_pallas_nms_tie_confidences():
     np.testing.assert_allclose(
         np.asarray(pb[0])[np.asarray(pv[0])],
         np.asarray(xb[0])[np.asarray(xv[0])], rtol=1e-6)
+
+
+def test_pallas_nms_larger_grid():
+    """N=196 (a 14x14 grid) — the kernel must scale beyond S=7."""
+    boxes = jnp.asarray(_random_batch(11, b=2, n=196, num_classes=20))
+    pb, pv = pallas_batched_non_max_suppression(boxes, interpret=True)
+    xb, xv = batched_non_max_suppression(boxes)
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(xv))
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(pb[i])[np.asarray(pv[i])],
+            np.asarray(xb[i])[np.asarray(xv[i])], rtol=1e-5, atol=1e-6)
+
+
+def test_map_large_padded_inputs():
+    """64 images x 49 padded detections/GTs through the vectorized mAP."""
+    from keras_object_detection_tpu.ops.map import mean_average_precision
+
+    rng = np.random.RandomState(3)
+    gt = rng.uniform(0, 1, size=(64, 49, 6)).astype(np.float32)
+    gt[..., 0] = rng.randint(0, 20, size=(64, 49))
+    det = rng.uniform(0, 1, size=(64, 49, 6)).astype(np.float32)
+    det[..., 0] = rng.randint(0, 20, size=(64, 49))
+    gt_v = rng.uniform(size=(64, 49)) < 0.1
+    det_v = rng.uniform(size=(64, 49)) < 0.2
+    val = float(mean_average_precision(
+        jnp.asarray(gt), jnp.asarray(gt_v), jnp.asarray(det),
+        jnp.asarray(det_v), num_classes=20))
+    assert 0.0 <= val <= 1.0
