@@ -121,7 +121,9 @@ def make_train_step(config: Config):
 
                 total = pallas_yolo_v1_loss(
                     y_true, y_pred, g.num_classes, g.num_boxes,
-                    t.lambda_coord, t.lambda_noobj, t.noobj_mode)
+                    t.lambda_coord, t.lambda_noobj, t.noobj_mode,
+                    # interpreter keeps the flag usable off-TPU (tests)
+                    interpret=jax.default_backend() in ("cpu", "gpu"))
                 terms = {"total": total}
             else:
                 terms = yolo_v1_loss_terms(

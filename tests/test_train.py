@@ -169,3 +169,26 @@ def test_set_learning_rate_no_recompile(tmp_path, data_dir):
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     state = set_learning_rate(state, 0.01)
     assert np.isclose(float(state.opt_state.hyperparams["learning_rate"]), 0.01)
+
+
+def test_pallas_loss_train_step_matches(tmp_path, data_dir):
+    """use_pallas_loss=True produces the same total loss as the jnp path
+    (interpret mode on CPU)."""
+    import dataclasses
+
+    base = _tiny_config(str(tmp_path))
+    pal = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, use_pallas_loss=True))
+    ds = YoloDataset(data_dir, base.model.image_size, base.data.batch_size,
+                     max_boxes=8)
+    images, boxes, valid = next(ds.epoch())
+    key = jax.random.PRNGKey(0)
+
+    s1 = create_train_state(base, jax.random.PRNGKey(0))
+    s2 = create_train_state(pal, jax.random.PRNGKey(0))
+    _, m1 = jax.jit(make_train_step(base))(
+        s1, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid), key)
+    _, m2 = jax.jit(make_train_step(pal))(
+        s2, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid), key)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
