@@ -12,7 +12,7 @@ One dataclass tree covers the five BASELINE.json configs:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +113,9 @@ class TrainConfig:
     # "mse" = reference parity; "diou" = Distance-IoU box regression
     # (Zheng et al. 2019, see PAPERS.md) as an opt-in improvement.
     box_loss_mode: str = "mse"
+    # Maintain an exponential moving average of the params (evaluated /
+    # served via TrainState.ema_params); None disables.
+    ema_decay: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

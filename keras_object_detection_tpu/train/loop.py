@@ -46,6 +46,9 @@ from keras_object_detection_tpu.train.schedules import epoch_schedule
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # exponential moving average of params (SURVEY.md §7 build plan);
+    # None when ema_decay is unset
+    ema_params: Any = None
 
 
 def _make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -66,10 +69,13 @@ def create_train_state(config: Config, rng: jax.Array) -> TrainState:
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     tx = _make_optimizer(config.train.optimizer, config.train.schedule.base_lr)
+    ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+           if config.train.ema_decay is not None else None)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
+        ema_params=ema,
         tx=tx,
     )
 
@@ -135,6 +141,11 @@ def make_train_step(config: Config):
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if t.ema_decay is not None:
+            decay = t.ema_decay
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p,
+                state.ema_params, state.params))
         metrics = {k: v for k, v in terms.items()}
         return state, metrics
 

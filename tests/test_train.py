@@ -192,3 +192,33 @@ def test_pallas_loss_train_step_matches(tmp_path, data_dir):
         s2, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid), key)
     np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
                                rtol=1e-5)
+
+
+def test_ema_params_track(tmp_path, data_dir):
+    import dataclasses
+
+    base = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, ema_decay=0.9))
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    images, boxes, valid = next(ds.epoch())
+    for _ in range(3):
+        state, _ = step(state, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(valid), jax.random.PRNGKey(1))
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    # EMA lags the live params but has moved off the init value
+    assert not np.allclose(np.asarray(e), np.asarray(p))
+    assert not np.allclose(np.asarray(e), np.asarray(p0))
+    # EMA is between init and live params (elementwise convex-ish check on norms)
+    assert np.linalg.norm(np.asarray(e) - np.asarray(p0)) < np.linalg.norm(
+        np.asarray(p) - np.asarray(p0)) + 1e-6
+
+    # ema_decay=None keeps the field absent
+    state2 = create_train_state(base, jax.random.PRNGKey(0))
+    assert state2.ema_params is None
