@@ -43,14 +43,34 @@ class CheckpointManager:
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_template``. ``step=None``
-        restores the best checkpoint (falling back to latest)."""
+        restores the best checkpoint (falling back to latest).
+
+        Version-tolerant: fields present in the template but absent in an
+        older checkpoint (e.g. ``ema_params`` added after the save) keep
+        their template values instead of failing the structural match.
+        """
         if step is None:
             step = self._mgr.best_step()
             if step is None:
                 step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        except ValueError:
+            import dataclasses
+
+            meta = self._mgr.item_metadata(step)
+            on_disk = set(getattr(meta, "tree", meta).keys())
+            fields = {
+                f.name: getattr(state_template, f.name)
+                for f in dataclasses.fields(type(state_template))
+                if f.name in on_disk
+            }
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(fields))
+            return state_template.replace(**restored)
 
     @property
     def best_step(self) -> Optional[int]:

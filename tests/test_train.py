@@ -222,3 +222,35 @@ def test_ema_params_track(tmp_path, data_dir):
     # ema_decay=None keeps the field absent
     state2 = create_train_state(base, jax.random.PRNGKey(0))
     assert state2.ema_params is None
+
+
+def test_restore_old_checkpoint_without_ema(tmp_path, data_dir):
+    """Checkpoints written before ema_params existed must still restore
+    (version tolerance: missing fields keep template values)."""
+    import dataclasses
+
+    from keras_object_detection_tpu.train.checkpoint import CheckpointManager
+
+    cfg = _tiny_config(str(tmp_path))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    # simulate an old checkpoint: save a state WITHOUT the ema field
+    legacy = {"step": state.step, "params": state.params,
+              "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    import orbax.checkpoint as ocp
+
+    d = str(tmp_path / "legacy_ckpt")
+    mgr = CheckpointManager(d)
+    mgr._mgr.save(0, args=ocp.args.StandardSave(legacy),
+                  metrics={"val_loss": 1.0})
+    mgr.wait()
+
+    ema_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
+    template = jax.device_get(create_train_state(ema_cfg, jax.random.PRNGKey(1)))
+    restored = mgr.restore(template, step=0)
+    mgr.close()
+    # params came from disk; ema kept the template's value
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    assert restored.ema_params is not None
