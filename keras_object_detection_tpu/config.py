@@ -116,6 +116,8 @@ class TrainConfig:
     # Maintain an exponential moving average of the params (evaluated /
     # served via TrainState.ema_params); None disables.
     ema_decay: Optional[float] = None
+    # When EMA is on, run validation/eval with the averaged params.
+    eval_with_ema: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -163,8 +163,11 @@ def make_eval_step(config: Config):
         y_true = jax.vmap(
             lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
         )(boxes, valid)
+        use_ema = (t.ema_decay is not None and t.eval_with_ema
+                   and state.ema_params is not None)
+        params = state.ema_params if use_ema else state.params
         y_pred = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
         y_pred = y_pred.reshape(y_true.shape)
         terms = yolo_v1_loss_terms(

@@ -254,3 +254,34 @@ def test_restore_old_checkpoint_without_ema(tmp_path, data_dir):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
     assert restored.ema_params is not None
+
+
+def test_eval_uses_ema_params(tmp_path, data_dir):
+    """With ema_decay=1.0 the EMA stays frozen at init, so eval loss must
+    stay at the init value even after the live params train."""
+    import dataclasses
+
+    base = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, ema_decay=1.0))
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8)
+    images, boxes, valid = next(ds.epoch())
+    images, boxes, valid = (jnp.asarray(images), jnp.asarray(boxes),
+                            jnp.asarray(valid))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    estep = jax.jit(make_eval_step(cfg))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    for _ in range(3):
+        state, _ = step(state, images, boxes, valid, jax.random.PRNGKey(1))
+    l_ema, _, _ = estep(state, images, boxes, valid)
+    # ground truth: evaluate the frozen EMA params through the live path
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_with_ema=False))
+    estep_live = jax.jit(make_eval_step(cfg2))
+    l_expected, _, _ = estep_live(
+        state.replace(params=state.ema_params), images, boxes, valid)
+    np.testing.assert_allclose(float(l_ema), float(l_expected), rtol=1e-6)
+    # and the live params give a different (trained) loss
+    l_live, _, _ = estep_live(state, images, boxes, valid)
+    assert abs(float(l_live) - float(l_ema)) > 1e-3
