@@ -35,3 +35,22 @@ def test_json_roundtrip_with_schedule():
     assert back.train.schedule == cfg.train.schedule
     assert isinstance(back.train.schedule, ScheduleConfig)
     assert back.data.color_jitter == cfg.data.color_jitter  # tuple restored
+
+
+def test_json_unknown_keys_ignored():
+    """Forward compatibility: configs written by newer versions with extra
+    fields must still load."""
+    import json
+
+    cfg = tiny_cpu_config()
+    d = json.loads(cfg.to_json())
+    d["model"]["future_knob"] = 42
+    d["brand_new_section"] = {"x": 1}
+    back = Config.from_json(json.dumps(d))
+    assert back.model.backbone == cfg.model.backbone
+
+
+def test_json_partial_sections():
+    back = Config.from_json('{"grid": {"num_classes": 7}}')
+    assert back.grid.num_classes == 7
+    assert back.model.backbone == "darknet24"  # defaults fill in
