@@ -254,28 +254,35 @@ class Trainer:
         ``min_lr``)."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.train.epochs
-        lrs = epoch_schedule(cfg.train.schedule, epochs)
         if state is None:
             state = self.init_state()
+        # Resume-aware epoch numbering: continue the LR schedule and the
+        # checkpoint step counter from where the restored state left off
+        # instead of restarting at epoch 0.
+        epoch_offset = int(state.step) // max(len(train_ds), 1)
+        lrs = epoch_schedule(cfg.train.schedule, epoch_offset + epochs)
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
         best = float("inf")
         since_best = 0
         lr_scale = 1.0
-        for epoch in range(epochs):
+        for epoch in range(epoch_offset, epoch_offset + epochs):
             lr = float(lrs[epoch]) * lr_scale
             if reduce_on_plateau is not None:
                 lr = max(lr, reduce_on_plateau[2])
             state = set_learning_rate(state, lr)
             t0 = time.time()
-            train_metrics: Dict[str, float] = {}
+            # Metrics accumulate ON DEVICE; a single readback per epoch.
+            # Per-step float() conversions would force a host sync every
+            # step (~30 ms each through this environment's dispatch relay).
+            acc: Dict[str, Any] = {}
             nb = 0
             for images, boxes, valid in train_ds.prefetched(self._batch_sharding):
                 state, metrics = self._train_step(state, images, boxes, valid, rng)
                 nb += 1
                 for k, v in metrics.items():
-                    train_metrics[k] = train_metrics.get(k, 0.0) + float(v)
-            train_metrics = {k: v / max(nb, 1) for k, v in train_metrics.items()}
+                    acc[k] = v if k not in acc else acc[k] + v
+            train_metrics = {k: float(v) / max(nb, 1) for k, v in acc.items()}
             train_metrics["lr"] = lr
             train_metrics["epoch_time_s"] = time.time() - t0
             train_metrics["images_per_s"] = (
@@ -309,7 +316,7 @@ class Trainer:
             self.logger.log(epoch, logs)
             if verbose:
                 msg = " ".join(f"{k}={v:.5g}" for k, v in logs.items())
-                print(f"epoch {epoch + 1}/{epochs}: {msg}")
+                print(f"epoch {epoch + 1}/{epoch_offset + epochs}: {msg}")
 
             if early_stop_patience is not None and since_best >= early_stop_patience:
                 if verbose:
