@@ -307,11 +307,16 @@ class Trainer:
                         if verbose:
                             print(f"plateau: scaling LR by "
                                   f"{reduce_on_plateau[0]} -> scale {lr_scale:.4g}")
-                self.ckpt.save(epoch, jax.device_get(state),
-                               {"val_loss": val["val_loss"]})
+                # save_best_only semantics (ref train.py:154): serialize only
+                # on improvement (device_get of the full state costs ~2s for
+                # the flagship), plus the final epoch for clean resume.
+                if improved or epoch == epoch_offset + epochs - 1:
+                    self.ckpt.save(epoch, jax.device_get(state),
+                                   {"val_loss": val["val_loss"]})
             else:
-                self.ckpt.save(epoch, jax.device_get(state),
-                               {"val_loss": train_metrics["total"]})
+                if epoch == epoch_offset + epochs - 1:
+                    self.ckpt.save(epoch, jax.device_get(state),
+                                   {"val_loss": train_metrics["total"]})
 
             self.logger.log(epoch, logs)
             if verbose:

@@ -91,3 +91,17 @@ def test_encode_decode_roundtrip(fixture_boxes):
     orig = fixture_boxes[np.argsort(fixture_boxes[:, 4])]
     np.testing.assert_allclose(recovered[:, 0], orig[:, 4], atol=1e-6)
     np.testing.assert_allclose(recovered[:, 2:6], orig[:, :4], rtol=1e-4, atol=1e-5)
+
+
+def test_encode_decode_grid14_roundtrip(fixture_boxes):
+    """Generality beyond S=7: encode/decode round-trip at grid 14."""
+    grid = encode_grid(jnp.asarray(fixture_boxes),
+                       jnp.ones(len(fixture_boxes), bool), 3, 2, grid=14)
+    assert grid.shape == (14, 14, 13)
+    decoded = np.asarray(decode_grid(grid[None], 3, 2, grid=14))[0]
+    recovered = decoded[decoded[:, 1] > 0.5]
+    assert len(recovered) == len(fixture_boxes)
+    recovered = recovered[np.argsort(recovered[:, 0])]
+    orig = fixture_boxes[np.argsort(fixture_boxes[:, 4])]
+    np.testing.assert_allclose(recovered[:, 2:6], orig[:, :4], rtol=1e-4,
+                               atol=1e-5)
