@@ -29,6 +29,8 @@ def main():
     p.add_argument("--grid-overlay", action="store_true",
                    help="draw the SxS lattice (ref get_grid_tagged_img)")
     p.add_argument("--latency-runs", type=int, default=5)
+    p.add_argument("--use-ema", action="store_true",
+                   help="serve the EMA parameters when the checkpoint has them")
     args = p.parse_args()
 
     import jax
@@ -58,7 +60,14 @@ def main():
     print(f"restored checkpoint step={int(state.step)} "
           f"(best={ckpt.best_step}, latest={ckpt.latest_step})")
 
-    model = InferenceModel(cfg, state.params, state.batch_stats)
+    params = state.params
+    if args.use_ema:
+        if state.ema_params is None:
+            raise SystemExit("error: checkpoint has no EMA params "
+                             "(train with TrainConfig.ema_decay)")
+        params = state.ema_params
+        print("serving EMA parameters")
+    model = InferenceModel(cfg, params, state.batch_stats)
 
     if args.image:
         img, _, _ = load_example(args.image, cfg.model.image_size,

@@ -138,16 +138,17 @@ class Evaluator:
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True) -> Dict[str, float]:
-        total, batches = 0.0, 0
+        total, batches = None, 0
         self.map_metric.reset_states()
         t0 = time.perf_counter()
         for images, boxes, valid in ds.prefetched():
             loss, y_true, y_pred = self._eval_step(state, images, boxes, valid)
-            total += float(loss)
+            # device-side accumulation; one readback at the end
+            total = loss if total is None else total + loss
             batches += 1
             if with_map:
                 self.map_metric.update_state(y_true, y_pred)
-        out = {"loss": total / max(batches, 1)}
+        out = {"loss": float(total) / max(batches, 1) if batches else 0.0}
         if with_map:
             out["mAP"] = self.map_metric.result()
         out["eval_time_s"] = time.perf_counter() - t0

@@ -99,3 +99,17 @@ def test_map_large_padded_inputs():
         jnp.asarray(gt), jnp.asarray(gt_v), jnp.asarray(det),
         jnp.asarray(det_v), num_classes=20))
     assert 0.0 <= val <= 1.0
+
+
+def test_pallas_nms_fuzz_sizes():
+    """Interpret-mode fuzz across box-count sizes and class counts."""
+    for seed, n, c in [(21, 8, 2), (22, 16, 5), (23, 33, 3), (24, 56, 10),
+                       (25, 49, 1)]:
+        boxes = jnp.asarray(_random_batch(seed, b=3, n=n, num_classes=c))
+        pb, pv = pallas_batched_non_max_suppression(boxes, interpret=True)
+        xb, xv = batched_non_max_suppression(boxes)
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(xv))
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(pb[i])[np.asarray(pv[i])],
+                np.asarray(xb[i])[np.asarray(xv[i])], rtol=1e-5, atol=1e-6)

@@ -40,3 +40,20 @@ def test_grid_tagged_img_center_dot():
     # red center dot at (112, 112)
     patch = out[108:117, 108:117]
     assert patch[..., 2].max() == 255
+
+
+def test_visualize_dataset_tool(tmp_path):
+    """The dataset visual self-test tool runs end-to-end and writes images."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/visualize_dataset.py",
+         "--data-dir", "/root/reference/yolo_v1/data",
+         "--names", NAMES, "--out-dir", str(tmp_path), "--image-size", "224"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert (tmp_path / "test_tagged.jpg").exists()
+    assert (tmp_path / "test_grid.jpg").exists()
