@@ -1,0 +1,107 @@
+"""JAX-native int8 weight quantization for TPU serving (complements the
+LiteRT int8 export, ref convert_to_tflite.py:17-30, which targets CPU/edge).
+
+Per-channel symmetric int8 over the last axis of every large kernel; small
+tensors (biases, BN params/stats) stay float32. At serving time the int8
+weights live in HBM and are dequantized inside the jitted forward — XLA fuses
+the dequant into the consumers, so weight traffic drops ~4x (batch-1 serving
+of the 45M-param flagship is weight-bound: 180 MB f32 -> 45 MB int8 per
+inference).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_object_detection_tpu.config import Config
+from keras_object_detection_tpu.core.grid import decode_grid
+from keras_object_detection_tpu.models.yolo import build_model
+from keras_object_detection_tpu.ops.pallas_nms import (
+    auto_batched_non_max_suppression,
+)
+
+_MIN_QUANT_SIZE = 1024  # leave biases / BN tensors in f32
+
+
+def _quantize_leaf(x: jnp.ndarray):
+    if x.size < _MIN_QUANT_SIZE or x.dtype not in (jnp.float32, jnp.bfloat16):
+        return {"f32": jnp.asarray(x, jnp.float32)}
+    xf = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=tuple(range(x.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def _dequantize_leaf(leaf):
+    if "f32" in leaf:
+        return leaf["f32"]
+    return leaf["q"].astype(jnp.float32) * leaf["scale"]
+
+
+def quantize_params(params: Any) -> Any:
+    """f32 param tree -> tree of {'q', 'scale'} / {'f32'} leaf dicts."""
+    return jax.tree_util.tree_map(_quantize_leaf, params)
+
+
+def dequantize_params(qparams: Any) -> Any:
+    """Inverse of quantize_params (lossy: int8 rounding)."""
+    return jax.tree_util.tree_map(
+        _dequantize_leaf, qparams,
+        is_leaf=lambda x: isinstance(x, dict) and ("q" in x or "f32" in x))
+
+
+def quantized_size_bytes(qparams: Any) -> Tuple[int, int]:
+    """(quantized_bytes, float_equivalent_bytes) of a quantized tree."""
+    qbytes = 0
+    fbytes = 0
+    for leaf in jax.tree_util.tree_leaves(qparams):
+        qbytes += leaf.size * leaf.dtype.itemsize
+    for leaf in jax.tree_util.tree_leaves(dequantize_params(qparams)):
+        fbytes += leaf.size * 4
+    return qbytes, fbytes
+
+
+class QuantizedInferenceModel:
+    """Fused forward+decode+NMS serving path over int8 weights.
+
+    The dequant happens INSIDE the jit, so the int8 tensors are what streams
+    from HBM each call. Surface mirrors ``eval.evaluator.InferenceModel``.
+    """
+
+    def __init__(self, config: Config, params: Any, batch_stats: Any):
+        self.config = config
+        model = build_model(config)
+        g = config.grid
+        e = config.eval
+        self._qparams = jax.device_put(quantize_params(params))
+        self._batch_stats = batch_stats
+
+        def forward_decode_nms(qparams, batch_stats, images_u8):
+            p = dequantize_params(qparams)
+            x = images_u8.astype(jnp.float32) / 255.0
+            y = model.apply({"params": p, "batch_stats": batch_stats}, x,
+                            train=False)
+            y = y.reshape((-1,) + g.output_shape)
+            boxes = decode_grid(y, g.num_classes, g.num_boxes, g.grid)
+            return auto_batched_non_max_suppression(
+                boxes, e.iou_threshold, e.conf_threshold)
+
+        self._serve = jax.jit(forward_decode_nms)
+
+    def predict(self, images_u8) -> Tuple[np.ndarray, np.ndarray]:
+        boxes, valid = self._serve(self._qparams, self._batch_stats,
+                                   jnp.asarray(images_u8))
+        return np.asarray(boxes), np.asarray(valid)
+
+    def predict_single(self, image_u8) -> np.ndarray:
+        boxes, valid = self.predict(np.asarray(image_u8)[None])
+        return boxes[0][valid[0]]
+
+    def memory_footprint(self) -> Dict[str, int]:
+        q, f = quantized_size_bytes(self._qparams)
+        return {"quantized_bytes": q, "float_bytes": f}
