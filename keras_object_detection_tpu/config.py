@@ -42,6 +42,9 @@ class ModelConfig:
     head_dense_units: int = 4960  # ref model.py:100
     head_batchnorm: bool = True  # False = test_model's plain head (ref model.py:164-167)
     activation: str = "relu"  # "leaky_relu" = the paper's LeakyReLU(0.1) (ref model.py:62)
+    # "fused" = Pallas single-pass BN-stats kernels (ops/pallas_bn.py), the
+    # TPU hot path; "flax" = stock nn.BatchNorm (checkpoint-compatible).
+    bn_mode: str = "fused"
     dropout_rate: float = 0.5
     remat: bool = False  # rematerialize backbone activations (bigger batches)
 

@@ -22,7 +22,7 @@ from keras_object_detection_tpu.models.darknet import (
     DARKNET_TINY_CONFIG,
     DarknetBackbone,
 )
-from keras_object_detection_tpu.models.layers import max_pool_2x2
+from keras_object_detection_tpu.models.layers import make_batch_norm, max_pool_2x2
 
 
 class VGG16Backbone(nn.Module):
@@ -54,15 +54,18 @@ class _InvertedResidual(nn.Module):
     strides: int
     expand: int
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         inp = x.shape[-1]
         residual = x
         hidden = inp * self.expand
-        bn = lambda y: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.999, epsilon=1e-3,
-            dtype=self.dtype, param_dtype=jnp.float32)(y)
+        counter = iter(range(8))
+        bn = lambda y: make_batch_norm(  # noqa: E731
+            self.bn_mode, use_running_average=not train, momentum=0.999,
+            epsilon=1e-3, dtype=self.dtype,
+            name=f"BatchNorm_{next(counter)}")(y)
         if self.expand != 1:
             x = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
@@ -87,6 +90,7 @@ class MobileNetV2Backbone(nn.Module):
     """
 
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
     schedule: Sequence[Tuple[int, int, int, int]] = (
         (1, 16, 1, 1),
         (6, 24, 2, 2),
@@ -99,35 +103,37 @@ class MobileNetV2Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bn = lambda y: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.999, epsilon=1e-3,
-            dtype=self.dtype, param_dtype=jnp.float32)(y)
+        counter = iter(range(8))
+        bn = lambda y: make_batch_norm(  # noqa: E731
+            self.bn_mode, use_running_average=not train, momentum=0.999,
+            epsilon=1e-3, dtype=self.dtype,
+            name=f"BatchNorm_{next(counter)}")(y)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu6(bn(x))
         for t, c, n, s in self.schedule:
             for i in range(n):
-                x = _InvertedResidual(c, s if i == 0 else 1, t, dtype=self.dtype)(
-                    x, train=train)
+                x = _InvertedResidual(c, s if i == 0 else 1, t, dtype=self.dtype,
+                                      bn_mode=self.bn_mode)(x, train=train)
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.relu6(bn(x))
         return x
 
 
-def _darknet24(dtype, activation="relu"):
+def _darknet24(dtype, activation="relu", bn_mode="fused"):
     return DarknetBackbone(architecture=ARCHITECTURE_CONFIG,
-                           activation=activation, dtype=dtype)
+                           activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
-def _darknet_tiny(dtype, activation="relu"):
+def _darknet_tiny(dtype, activation="relu", bn_mode="fused"):
     return DarknetBackbone(architecture=DARKNET_TINY_CONFIG,
-                           activation=activation, dtype=dtype)
+                           activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
-def _darknet_micro(dtype, activation="relu"):
+def _darknet_micro(dtype, activation="relu", bn_mode="fused"):
     return DarknetBackbone(architecture=DARKNET_MICRO_CONFIG,
-                           activation=activation, dtype=dtype)
+                           activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
 # activation applies to the darknet family (the reference's cnn_block knob,
@@ -136,6 +142,8 @@ BACKBONES = {
     "darknet24": _darknet24,
     "darknet_tiny": _darknet_tiny,
     "darknet_micro": _darknet_micro,
-    "vgg16": lambda dtype, activation="relu": VGG16Backbone(dtype=dtype),
-    "mobilenetv2": lambda dtype, activation="relu": MobileNetV2Backbone(dtype=dtype),
+    "vgg16": lambda dtype, activation="relu", bn_mode="fused":
+        VGG16Backbone(dtype=dtype),
+    "mobilenetv2": lambda dtype, activation="relu", bn_mode="fused":
+        MobileNetV2Backbone(dtype=dtype, bn_mode=bn_mode),
 }

@@ -70,6 +70,7 @@ class DarknetBackbone(nn.Module):
     architecture: Sequence[Any] = ARCHITECTURE_CONFIG
     activation: str = "relu"
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -81,14 +82,17 @@ class DarknetBackbone(nn.Module):
             elif len(entry) == 4 and all(isinstance(v, int) for v in entry):
                 k, f, s, p = entry
                 x = ConvBlock(f, k, s, p, activation=self.activation,
-                              dtype=self.dtype)(x, train=train)
+                              dtype=self.dtype, bn_mode=self.bn_mode)(
+                                  x, train=train)
             else:  # (conv_a, conv_b, repeats)
                 conv_a, conv_b, repeats = entry
                 for _ in range(repeats):
                     x = ConvBlock(conv_a[1], conv_a[0], conv_a[2], conv_a[3],
                                   activation=self.activation,
-                                  dtype=self.dtype)(x, train=train)
+                                  dtype=self.dtype, bn_mode=self.bn_mode)(
+                                      x, train=train)
                     x = ConvBlock(conv_b[1], conv_b[0], conv_b[2], conv_b[3],
                                   activation=self.activation,
-                                  dtype=self.dtype)(x, train=train)
+                                  dtype=self.dtype, bn_mode=self.bn_mode)(
+                                      x, train=train)
         return x

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from keras_object_detection_tpu.config import Config, GridConfig, ModelConfig
 from keras_object_detection_tpu.models.backbones import BACKBONES
-from keras_object_detection_tpu.models.layers import ConvBlock
+from keras_object_detection_tpu.models.layers import ConvBlock, make_batch_norm
 
 
 class ConvHead(nn.Module):
@@ -29,6 +29,7 @@ class ConvHead(nn.Module):
     cell_depth: int
     grid: int = 7
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -36,8 +37,8 @@ class ConvHead(nn.Module):
         # strides down to 7 (ref model.py:247); backbones that already emit
         # the grid resolution (darknet24) keep stride 1.
         stride = max(x.shape[1] // self.grid, 1)
-        x = ConvBlock(1024, 3, strides=stride, padding="SAME", dtype=self.dtype)(
-            x, train=train)
+        x = ConvBlock(1024, 3, strides=stride, padding="SAME", dtype=self.dtype,
+                      bn_mode=self.bn_mode)(x, train=train)
         x = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32)(x.astype(jnp.float32))
         return x
@@ -55,15 +56,16 @@ class GAPDenseHead(nn.Module):
     units: int = 4960
     use_batchnorm: bool = True
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
         x = nn.Dense(self.units, dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.use_batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+            x = make_batch_norm(self.bn_mode, use_running_average=not train,
+                                momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                                name="BatchNorm_0")(x)
         x = nn.relu(x)
         x = nn.Dense(self.grid * self.grid * self.cell_depth, dtype=jnp.float32,
                      param_dtype=jnp.float32)(x.astype(jnp.float32))
@@ -80,12 +82,13 @@ class MultiConvDenseHead(nn.Module):
     dense_units: Sequence[int] = (512, 1024)  # vgg16 variant; mnv2 uses (4096,)
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
+    bn_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i, stride in enumerate((1, 2, 1, 1)):
             x = ConvBlock(1024, 3, strides=stride, padding="SAME",
-                          dtype=self.dtype)(x, train=train)
+                          dtype=self.dtype, bn_mode=self.bn_mode)(x, train=train)
         x = x.reshape(x.shape[0], -1)  # Flatten
         for units in self.dense_units:
             x = nn.Dense(units, dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -117,6 +120,7 @@ class YoloV1(nn.Module):
     activation: str = "relu"  # darknet conv activation; "leaky_relu" = paper
     flat_output: bool = False
     remat: bool = False
+    bn_mode: str = "fused"  # "fused" = Pallas BN-stats kernels | "flax"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -126,21 +130,23 @@ class YoloV1(nn.Module):
         # (train/loop.py) via jax.checkpoint around the whole forward —
         # flax-module-level nn.remat would rename parameter scopes and break
         # checkpoint compatibility between remat on/off.
-        x = BACKBONES[self.backbone](self.compute_dtype, self.activation)(
-            x, train=train)
+        x = BACKBONES[self.backbone](self.compute_dtype, self.activation,
+                                     bn_mode=self.bn_mode)(x, train=train)
         if self.head == "conv":
-            out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype)(
-                x, train=train)
+            out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype,
+                           bn_mode=self.bn_mode)(x, train=train)
         elif self.head == "gap_dense":
             out = GAPDenseHead(self.grid, depth, units=self.head_dense_units,
                                use_batchnorm=self.head_batchnorm,
-                               dtype=self.compute_dtype)(x, train=train)
+                               dtype=self.compute_dtype,
+                               bn_mode=self.bn_mode)(x, train=train)
             if self.flat_output:
                 return out.reshape(out.shape[0], -1)
         elif self.head == "flatten_dense":
             units = (4096,) if self.backbone == "mobilenetv2" else (512, 1024)
             out = MultiConvDenseHead(self.grid, depth, dense_units=units,
-                                     dtype=self.compute_dtype)(x, train=train)
+                                     dtype=self.compute_dtype,
+                                     bn_mode=self.bn_mode)(x, train=train)
             if self.flat_output:
                 return out.reshape(out.shape[0], -1)
         else:
@@ -165,4 +171,5 @@ def build_model(config: Config) -> YoloV1:
         head_batchnorm=getattr(m, "head_batchnorm", True),
         activation=getattr(m, "activation", "relu"),
         remat=getattr(m, "remat", False),
+        bn_mode=getattr(m, "bn_mode", "fused"),
     )
