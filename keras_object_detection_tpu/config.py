@@ -47,6 +47,14 @@ class ModelConfig:
     bn_mode: str = "fused"
     dropout_rate: float = 0.5
     remat: bool = False  # rematerialize backbone activations (bigger batches)
+    # Path to a Keras .h5 (full model or weights) with pretrained backbone
+    # weights, converted via models/pretrained.py (ref model.py:178
+    # weights='imagenet'); "" = random init (ref uses weights=None for MNv2).
+    pretrained_backbone: str = ""
+    # Train with the backbone frozen (ref yolo_v1.py:819-820 trainable knob);
+    # implemented as stop_gradient on the backbone subtree, so XLA prunes the
+    # backbone backward pass entirely.
+    freeze_backbone: bool = False
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

@@ -19,10 +19,12 @@ force_float32_reductions=True): stats in float32, ``var = max(0, E[x^2] -
 E[x]^2)``, normalize arithmetic in float32, output cast to the module dtype.
 Parity (value + grad vs flax autodiff) is asserted in tests/test_pallas_bn.py.
 
-Layout trick: for channel counts below 128 the (M, C) view is reshaped to
-(M/F, F*C) with F a power of two — a free reinterpretation of the same memory
-that fills all 128 VPU lanes; the per-channel totals are recovered by summing
-the F lane groups at the end.
+Layout note: inputs are viewed as (M, C) by collapsing the leading axes —
+a layout-preserving (free) reshape. A lane-filling fold to (M/F, F*C) for
+C < 128 was tried and REJECTED: TPU arrays are lane-tiled, so that reshape is
+a full relayout copy of the activation in HBM, which costs more than the
+half-empty lanes it saves (measured: 206 MB C=64 stats pass ran at an
+apparent 204 GB/s including the hidden copy).
 """
 
 from __future__ import annotations
@@ -36,20 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Target bytes per input block; blocks pipeline HBM->VMEM, so a ~1 MB block
-# amortizes DMA setup while staying far under the 16 MB scoped-VMEM limit
-# even with two inputs resident (backward kernel).
-_TARGET_BLOCK_BYTES = 1 << 20
+# Target bytes per input block. Scoped-VMEM budget per block is roughly
+# rows x max(C,128-lane-padded) x (2 dtypes double-buffered + ~4 f32 temps)
+# ~= 12 B/row-lane in the backward kernel, so 2048-row blocks at C<=128 stay
+# ~3-6 MB, well under the 16 MB limit (8192-row blocks OOM'd: 19.82M).
+_TARGET_BLOCK_BYTES = 1 << 19
 _MIN_BLOCK_ROWS = 256
-_MAX_BLOCK_ROWS = 8192
-
-
-def _fold_factor(m: int, c: int) -> int:
-    """Largest power-of-two F with F*C <= 128 and F | M (lane-filling fold)."""
-    f = 1
-    while f * 2 * c <= 128 and m % (f * 2) == 0:
-        f *= 2
-    return f
+_MAX_BLOCK_ROWS = 2048
 
 
 def _block_rows(width: int, itemsize: int, m: int) -> int:
@@ -99,10 +94,6 @@ def _grad_stats_kernel(dy_ref, x_ref, mean_ref, rstd_ref, out_ref, *,
     out_ref[1:2, :] += jnp.sum(prod, axis=0, keepdims=True)
 
 
-def _unfold(row: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
-    return row.reshape(f, c).sum(axis=0) if f > 1 else row
-
-
 def bn_batch_stats(x: jnp.ndarray, interpret: bool = False):
     """Per-channel (mean, var) over all leading axes of ``x`` (..., C).
 
@@ -112,24 +103,19 @@ def bn_batch_stats(x: jnp.ndarray, interpret: bool = False):
     c = x.shape[-1]
     m = int(np.prod(x.shape[:-1]))
     x2d = x.reshape(m, c)
-    f = _fold_factor(m, c)
-    mf, w = m // f, c * f
-    x2d = x2d.reshape(mf, w)
-    block = _block_rows(w, x2d.dtype.itemsize, mf)
+    block = _block_rows(c, x2d.dtype.itemsize, m)
     out = pl.pallas_call(
-        functools.partial(_stats_kernel, block_rows=block, rows_total=mf),
-        grid=(pl.cdiv(mf, block),),
-        in_specs=[pl.BlockSpec((block, w), lambda i: (i, 0),
+        functools.partial(_stats_kernel, block_rows=block, rows_total=m),
+        grid=(pl.cdiv(m, block),),
+        in_specs=[pl.BlockSpec((block, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((2, w), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((2, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
         interpret=interpret,
     )(x2d)
-    total = _unfold(out[0], f, c)
-    total_sq = _unfold(out[1], f, c)
-    mean = total / m
-    var = jnp.maximum(0.0, total_sq / m - mean * mean)
+    mean = out[0] / m
+    var = jnp.maximum(0.0, out[1] / m - mean * mean)
     return mean, var
 
 
@@ -142,28 +128,26 @@ def bn_grad_stats(dy: jnp.ndarray, x: jnp.ndarray, mean: jnp.ndarray,
     """
     c = x.shape[-1]
     m = int(np.prod(x.shape[:-1]))
-    f = _fold_factor(m, c)
-    mf, w = m // f, c * f
-    dy2d = dy.reshape(mf, w)
-    x2d = x.reshape(mf, w)
-    mean_row = jnp.tile(mean.astype(jnp.float32), f).reshape(1, w)
-    rstd_row = jnp.tile(rstd.astype(jnp.float32), f).reshape(1, w)
-    block = _block_rows(w, x2d.dtype.itemsize, mf)
+    dy2d = dy.reshape(m, c)
+    x2d = x.reshape(m, c)
+    mean_row = mean.astype(jnp.float32).reshape(1, c)
+    rstd_row = rstd.astype(jnp.float32).reshape(1, c)
+    block = _block_rows(c, x2d.dtype.itemsize, m)
     out = pl.pallas_call(
-        functools.partial(_grad_stats_kernel, block_rows=block, rows_total=mf),
-        grid=(pl.cdiv(mf, block),),
+        functools.partial(_grad_stats_kernel, block_rows=block, rows_total=m),
+        grid=(pl.cdiv(m, block),),
         in_specs=[
-            pl.BlockSpec((block, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, w), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((2, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
         interpret=interpret,
     )(dy2d, x2d, mean_row, rstd_row)
-    return _unfold(out[0], f, c), _unfold(out[1], f, c)
+    return out[0], out[1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

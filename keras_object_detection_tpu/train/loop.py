@@ -63,11 +63,19 @@ def _make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
 
 
 def create_train_state(config: Config, rng: jax.Array) -> TrainState:
-    """Initialize model params + optimizer (ref train.py:104-114)."""
+    """Initialize model params + optimizer (ref train.py:104-114); grafts
+    pretrained backbone weights when configured (ref model.py:178)."""
     model = build_model(config)
     size = config.model.image_size
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
+    if getattr(config.model, "pretrained_backbone", ""):
+        from keras_object_detection_tpu.models.pretrained import (
+            load_pretrained_backbone)
+
+        variables = load_pretrained_backbone(
+            dict(variables), config.model.backbone,
+            config.model.pretrained_backbone)
     tx = _make_optimizer(config.train.optimizer, config.train.schedule.base_lr)
     ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
            if config.train.ema_decay is not None else None)
@@ -92,6 +100,13 @@ def make_train_step(config: Config):
     g = config.grid
     d = config.data
     t = config.train
+
+    freeze_key = None
+    if getattr(config.model, "freeze_backbone", False):
+        from keras_object_detection_tpu.models.pretrained import (
+            BACKBONE_PARAM_KEYS)
+
+        freeze_key = BACKBONE_PARAM_KEYS[config.model.backbone]
 
     def train_step(state: TrainState, images_u8, boxes, valid, rng):
         akey, dkey = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -119,6 +134,12 @@ def make_train_step(config: Config):
             forward = jax.checkpoint(forward)
 
         def loss_fn(params):
+            if freeze_key is not None:
+                # stop_gradient freezes the backbone (ref yolo_v1.py:819
+                # backbone.trainable=False) AND lets XLA prune its backward.
+                params = dict(params)
+                params[freeze_key] = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params[freeze_key])
             y_pred, updates = forward(params, state.batch_stats, images)
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             if t.use_pallas_loss:

@@ -43,6 +43,11 @@ def parse_args():
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--pretrained-backbone", metavar="H5_PATH",
+                   help="Keras .h5 with pretrained backbone weights "
+                        "(vgg16/mobilenetv2), converted at init")
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="train with the backbone frozen")
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="-1 = all devices on the data mesh axis")
     p.add_argument("--early-stop-patience", type=int)
@@ -75,7 +80,9 @@ def build_config(args):
         cfg,
         grid=over(cfg.grid, num_classes=args.num_classes),
         model=over(cfg.model, backbone=args.backbone, head=args.head,
-                   image_size=args.image_size, compute_dtype=args.compute_dtype),
+                   image_size=args.image_size, compute_dtype=args.compute_dtype,
+                   pretrained_backbone=args.pretrained_backbone,
+                   freeze_backbone=args.freeze_backbone or None),
         data=over(cfg.data, train_dir=train_dir, val_dir=val_dir,
                   test_dir=test_dir, batch_size=args.batch_size,
                   cache_in_memory=args.cache_in_memory or None),
