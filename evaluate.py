@@ -101,7 +101,10 @@ def main():
         ds = YoloDataset(args.data_dir, cfg.model.image_size,
                          cfg.data.batch_size,
                          max_boxes=cfg.data.max_boxes_per_image)
-        results = Evaluator(cfg).evaluate(state, ds)
+        # --use-ema is the single source of truth here, matching the
+        # single-image path above (config eval_with_ema only governs
+        # in-training validation).
+        results = Evaluator(cfg, use_ema=args.use_ema).evaluate(state, ds)
         print("evaluation:", {k: round(float(v), 5) for k, v in results.items()})
     ckpt.close()
 

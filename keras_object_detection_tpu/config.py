@@ -148,6 +148,13 @@ class EvalConfig:
     iou_threshold: float = 0.5
     map_iou_threshold: float = 0.5
     max_detections: int = 49  # S*S candidates per image
+    # Opt-in de-biasing of non-divisible eval sets: weight out the zero-padded
+    # images of the final partial batch from val loss and drop them from the
+    # mAP accumulator. False = reference parity in spirit (the reference
+    # shrinks the last batch, ref dataset.py:38-47; our static-shape pipeline
+    # pads it, so padded images otherwise add phantom no-object loss terms
+    # and spurious detections).
+    mask_padded_images: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

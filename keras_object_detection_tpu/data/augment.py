@@ -58,27 +58,89 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 def _color_jitter(img: jnp.ndarray, key: jax.Array,
                   strengths: Tuple[float, float, float, float]) -> jnp.ndarray:
     """Brightness/contrast/saturation/hue jitter with Albumentations-default
-    strengths (0.2 each). Applied in a fixed order (Albumentations shuffles;
-    distributionally equivalent for these small factors)."""
-    kb, kc, ks, kh = jax.random.split(key, 4)
+    strengths (0.2 each). Like Albumentations' ColorJitter, the four ops are
+    applied in a per-sample RANDOM order (factors are sampled once up front);
+    a fixed order would bias e.g. brightness-then-contrast clipping."""
+    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
     sb, sc, ss, sh = strengths
 
     fb = jax.random.uniform(kb, (), minval=1.0 - sb, maxval=1.0 + sb)
-    img = jnp.clip(img * fb, 0.0, 1.0)
-
     fc = jax.random.uniform(kc, (), minval=1.0 - sc, maxval=1.0 + sc)
-    gray_mean = jnp.mean(
-        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
-    img = jnp.clip((img - gray_mean) * fc + gray_mean, 0.0, 1.0)
-
     fs = jax.random.uniform(ks, (), minval=1.0 - ss, maxval=1.0 + ss)
-    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
-    img = jnp.clip(gray + (img - gray) * fs, 0.0, 1.0)
-
     fh = jax.random.uniform(kh, (), minval=-sh, maxval=sh)
-    hsv = _rgb_to_hsv(img)
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
-    return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+
+    def brightness(img):
+        return jnp.clip(img * fb, 0.0, 1.0)
+
+    def contrast(img):
+        gray_mean = jnp.mean(
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        return jnp.clip((img - gray_mean) * fc + gray_mean, 0.0, 1.0)
+
+    def saturation(img):
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])[..., None]
+        return jnp.clip(gray + (img - gray) * fs, 0.0, 1.0)
+
+    def hue(img):
+        hsv = _rgb_to_hsv(img)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+        return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+
+    perm = jax.random.permutation(kperm, 4)
+    for i in range(4):
+        img = jax.lax.switch(perm[i], (brightness, contrast, saturation, hue),
+                             img)
+    return img
+
+
+def sample_crop_window(
+    key: jax.Array,
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float],
+    attempts: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RandomResizedCrop window sampler, matching Albumentations'
+    (torchvision-derived) algorithm in relative units (ref dataset.py:139):
+
+    Up to ``attempts`` draws of (area_fraction ~ U(scale),
+    aspect ~ exp(U(log ratio))); a draw is ACCEPTED iff the implied
+    ``w = sqrt(area*aspect)`` and ``h = sqrt(area/aspect)`` both fit in the
+    unit square — oversized draws are rejected and resampled, NOT clipped
+    (clipping would put a point mass at w=1 and distort the accepted aspect
+    distribution). If all attempts fail, fall back to the deterministic
+    center crop with the aspect clamped to the ratio bounds (for a square
+    image with 1 inside [ratio_min, ratio_max] that is the identity crop).
+    The offset is continuous-uniform over the feasible range; the reference
+    rounds to integer pixels, an O(1/W) discretization documented as the one
+    intentional difference.
+
+    Returns scalar ``(x0, y0, w, h)`` in [0, 1] units.
+    """
+    ka, kr, kx, ky = jax.random.split(key, 4)
+    area = jax.random.uniform(ka, (attempts,), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        kr, (attempts,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    r = jnp.exp(log_r)
+    w = jnp.sqrt(area * r)
+    h = jnp.sqrt(area / r)
+    ok = (w <= 1.0) & (h <= 1.0)
+    # index of the first accepted attempt (argmax returns the first True)
+    first = jnp.argmax(ok)
+    any_ok = jnp.any(ok)
+
+    # torchvision fallback: clamp the (square) image ratio 1.0 into bounds
+    in_ratio = 1.0
+    fb_w = jnp.where(in_ratio < ratio[0], 1.0,
+                     jnp.where(in_ratio > ratio[1], ratio[1], 1.0))
+    fb_h = jnp.where(in_ratio < ratio[0], 1.0 / ratio[0],
+                     jnp.where(in_ratio > ratio[1], 1.0, 1.0))
+
+    crop_w = jnp.where(any_ok, w[first], fb_w)
+    crop_h = jnp.where(any_ok, h[first], fb_h)
+    x0 = jax.random.uniform(kx, ()) * (1.0 - crop_w)
+    y0 = jax.random.uniform(ky, ()) * (1.0 - crop_h)
+    return x0, y0, crop_w, crop_h
 
 
 def _random_resized_crop(
@@ -93,15 +155,7 @@ def _random_resized_crop(
     """Sample a crop window (relative units), resample the image back to its
     own size via ``scale_and_translate``, and remap/clip/filter the boxes."""
     size = img.shape[0]
-    ka, kr, kx, ky = jax.random.split(key, 4)
-    area = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
-    log_r = jax.random.uniform(
-        kr, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
-    r = jnp.exp(log_r)
-    crop_w = jnp.clip(jnp.sqrt(area * r), 0.05, 1.0)
-    crop_h = jnp.clip(jnp.sqrt(area / r), 0.05, 1.0)
-    x0 = jax.random.uniform(kx, (), minval=0.0, maxval=1.0) * (1.0 - crop_w)
-    y0 = jax.random.uniform(ky, (), minval=0.0, maxval=1.0) * (1.0 - crop_h)
+    x0, y0, crop_w, crop_h = sample_crop_window(key, scale, ratio)
 
     # out[o] samples in[(o + 0.5 - t)/s - 0.5]; choose s, t so the crop window
     # [y0, y0+crop_h] maps onto the full output.

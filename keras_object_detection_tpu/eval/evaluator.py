@@ -127,9 +127,13 @@ class Evaluator:
     """Dataset-level loss + mAP evaluation (ref train.py CustomCallback
     ``_calculate_map`` + post-fit test loop, without the 'It takes sometime')."""
 
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, use_ema: bool = None):
+        """``use_ema``: None = follow config (ema_decay + eval_with_ema);
+        True/False = explicit override, e.g. the CLI ``--use-ema`` flag —
+        keeps the dataset path consistent with the single-image
+        ``InferenceModel`` path, which always obeys the flag."""
         self.config = config
-        self._eval_step = jax.jit(make_eval_step(config))
+        self._eval_step = jax.jit(make_eval_step(config, use_ema=use_ema))
         self.map_metric = MeanAveragePrecision(
             config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
             iou_threshold=config.eval.iou_threshold,
@@ -138,17 +142,30 @@ class Evaluator:
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True) -> Dict[str, float]:
+        mask = self.config.eval.mask_padded_images
         total, batches = None, 0
         self.map_metric.reset_states()
         t0 = time.perf_counter()
-        for images, boxes, valid in ds.prefetched():
-            loss, y_true, y_pred = self._eval_step(state, images, boxes, valid)
+        for i, (images, boxes, valid) in enumerate(ds.prefetched()):
+            weight = None
+            if mask:
+                n_real = min(ds.batch_size,
+                             ds.num_examples - i * ds.batch_size)
+                weight = jnp.arange(ds.batch_size) < n_real
+            loss, y_true, y_pred = self._eval_step(
+                state, images, boxes, valid, weight)
             # device-side accumulation; one readback at the end
             total = loss if total is None else total + loss
             batches += 1
             if with_map:
-                self.map_metric.update_state(y_true, y_pred)
-        out = {"loss": float(total) / max(batches, 1) if batches else 0.0}
+                self.map_metric.update_state(y_true, y_pred,
+                                             image_valid=weight)
+        if mask:
+            loss_out = (float(total) * ds.batch_size / max(ds.num_examples, 1)
+                        if batches else 0.0)
+        else:
+            loss_out = float(total) / max(batches, 1) if batches else 0.0
+        out = {"loss": loss_out}
         if with_map:
             out["mAP"] = self.map_metric.result()
         out["eval_time_s"] = time.perf_counter() - t0

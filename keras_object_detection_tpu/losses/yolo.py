@@ -18,7 +18,7 @@ Reproduced parity quirks (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,7 @@ def yolo_v1_loss_terms(
     lambda_noobj: float = 0.5,
     noobj_mode: str = "selected",
     box_loss_mode: str = "mse",
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-term scalars; ``total`` matches the reference loss exactly
     (with the default ``box_loss_mode="mse"``; ``"diou"`` swaps the xy/wh
@@ -69,11 +70,22 @@ def yolo_v1_loss_terms(
         cells and lets it win decode's argmax with a junk box) or ``"all"``
         (the YOLOv1 paper's formulation, penalizing every slot — also what
         the reference's older commented variant did, ref loss.py:81-82).
+      sample_weight: optional ``(batch,)`` per-image weights. ``None`` keeps
+        reference parity (every image contributes full weight — including
+        zero-padded partial-batch images, whose all-zero targets otherwise
+        add phantom no-object terms). Weights of 0/1 drop padded images
+        exactly; the reference never pads (it shrinks the last batch
+        instead, ref dataset.py:38-47).
     """
     c = num_classes
     true_box = y_true[..., c + 1 : c + 5]  # (b,S,S,4)
     obj = y_true[..., c : c + 1]  # (b,S,S,1)
     noobj = 1.0 - obj
+    if sample_weight is not None:
+        w = sample_weight.astype(y_true.dtype)[:, None, None, None]
+        # Both masks carry the weight, so every term below inherits it.
+        obj = obj * w
+        noobj = noobj * w
 
     pred_rest = y_pred[..., c:]
     bshape = pred_rest.shape[:-1] + (num_boxes, 5)

@@ -165,7 +165,7 @@ class MeanAveragePrecision:
         self.reset_states()
 
     def _make_update(self):
-        def update(y_true, y_pred):
+        def update(y_true, y_pred, image_valid):
             tb = decode_grid(y_true, self._num_classes, self._num_boxes, self._grid)
             pb = decode_grid(y_pred, self._num_classes, self._num_boxes, self._grid)
             if self._nms_on_targets:
@@ -175,6 +175,11 @@ class MeanAveragePrecision:
                 tboxes, tvalid = tb, tb[..., 1] > self._conf_threshold
             pboxes, pvalid = batched_non_max_suppression(
                 pb, self._iou_threshold, self._conf_threshold)
+            if image_valid is not None:
+                # Drop padded images of a partial final batch entirely: no
+                # ground truths AND no (spurious) detections from zero pixels.
+                tvalid = tvalid & image_valid[:, None]
+                pvalid = pvalid & image_valid[:, None]
             return tboxes, tvalid, pboxes, pvalid
 
         return update
@@ -185,24 +190,34 @@ class MeanAveragePrecision:
         self._pred: list = []
         self._pvalid: list = []
 
-    def update_state(self, y_true, y_pred) -> None:
-        """Accumulate one batch of grid-shaped targets and predictions."""
+    def update_state(self, y_true, y_pred, image_valid=None) -> None:
+        """Accumulate one batch of grid-shaped targets and predictions.
+
+        The per-batch decode+NMS output STAYS on device (a host round-trip
+        per batch costs ~30 ms through this environment's dispatch relay);
+        the single device->host readback happens inside ``result()``'s
+        compiled mAP reduction.
+
+        ``image_valid``: optional ``(batch,)`` bool mask excluding padded
+        images (EvalConfig.mask_padded_images path).
+        """
         tboxes, tvalid, pboxes, pvalid = self._update(
-            jnp.asarray(y_true), jnp.asarray(y_pred))
-        self._true.append(np.asarray(tboxes))
-        self._tvalid.append(np.asarray(tvalid))
-        self._pred.append(np.asarray(pboxes))
-        self._pvalid.append(np.asarray(pvalid))
+            jnp.asarray(y_true), jnp.asarray(y_pred),
+            None if image_valid is None else jnp.asarray(image_valid))
+        self._true.append(tboxes)
+        self._tvalid.append(tvalid)
+        self._pred.append(pboxes)
+        self._pvalid.append(pvalid)
 
     def result(self) -> float:
         if not self._true:
             return 0.0
         return float(
             mean_average_precision(
-                jnp.asarray(np.concatenate(self._true)),
-                jnp.asarray(np.concatenate(self._tvalid)),
-                jnp.asarray(np.concatenate(self._pred)),
-                jnp.asarray(np.concatenate(self._pvalid)),
+                jnp.concatenate(self._true),
+                jnp.concatenate(self._tvalid),
+                jnp.concatenate(self._pred),
+                jnp.concatenate(self._pvalid),
                 self._num_classes,
                 self._map_iou_threshold,
             )

@@ -80,6 +80,14 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    @property
+    def latest_epoch(self) -> Optional[int]:
+        """The checkpoint axis IS the epoch number (``Trainer.fit`` saves with
+        ``save(epoch, ...)``), so resuming should continue from
+        ``latest_epoch + 1`` — robust to batch-size or dataset-size changes,
+        unlike inferring the epoch from the optimizer step count."""
+        return self._mgr.latest_step()
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

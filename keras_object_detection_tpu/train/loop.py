@@ -89,10 +89,13 @@ def create_train_state(config: Config, rng: jax.Array) -> TrainState:
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Swap the injected LR without recompiling the step."""
+    """Swap the injected LR without recompiling the step. Non-mutating:
+    returns a state with a fresh hyperparams dict (the input state stays
+    valid, e.g. for checkpoint comparisons)."""
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return state.replace(opt_state=opt_state)
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
 
 def make_train_step(config: Config):
@@ -173,27 +176,36 @@ def make_train_step(config: Config):
     return train_step
 
 
-def make_eval_step(config: Config):
+def make_eval_step(config: Config, use_ema: Optional[bool] = None):
     """Deterministic eval: normalize -> encode -> forward(train=False) -> loss.
-    Also returns the raw predictions for the mAP accumulator."""
+    Also returns the raw predictions for the mAP accumulator.
+
+    ``use_ema``: None = decide from config (ema_decay set AND eval_with_ema);
+    True/False = explicit override (the CLI ``--use-ema`` path).
+    ``image_weight``: optional ``(batch,)`` 0/1 weights masking out padded
+    images of a partial final batch (EvalConfig.mask_padded_images)."""
     g = config.grid
     t = config.train
 
-    def eval_step(state: TrainState, images_u8, boxes, valid):
+    def eval_step(state: TrainState, images_u8, boxes, valid,
+                  image_weight=None):
         images = preprocess_eval_batch(images_u8)
         y_true = jax.vmap(
             lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
         )(boxes, valid)
-        use_ema = (t.ema_decay is not None and t.eval_with_ema
-                   and state.ema_params is not None)
-        params = state.ema_params if use_ema else state.params
+        ema = use_ema
+        if ema is None:
+            ema = t.ema_decay is not None and t.eval_with_ema
+        ema = ema and state.ema_params is not None
+        params = state.ema_params if ema else state.params
         y_pred = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
         y_pred = y_pred.reshape(y_true.shape)
         terms = yolo_v1_loss_terms(
             y_true, y_pred, g.num_classes, g.num_boxes,
-            t.lambda_coord, t.lambda_noobj, t.noobj_mode, t.box_loss_mode)
+            t.lambda_coord, t.lambda_noobj, t.noobj_mode, t.box_loss_mode,
+            sample_weight=image_weight)
         return terms["total"], y_true, y_pred
 
     return eval_step
@@ -236,16 +248,34 @@ class Trainer:
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,
                         with_map: bool) -> Dict[str, float]:
-        total, batches = 0.0, 0
+        mask = self.config.eval.mask_padded_images
+        total, batches = None, 0
         if with_map:
             self.map_metric.reset_states()
-        for images, boxes, valid in ds.prefetched(self._batch_sharding):
-            loss, y_true, y_pred = self._eval_step(state, images, boxes, valid)
-            total += float(loss)
+        for i, (images, boxes, valid) in enumerate(
+                ds.prefetched(self._batch_sharding)):
+            weight = None
+            if mask:
+                n_real = min(ds.batch_size,
+                             ds.num_examples - i * ds.batch_size)
+                weight = jnp.arange(ds.batch_size) < n_real
+            loss, y_true, y_pred = self._eval_step(
+                state, images, boxes, valid, weight)
+            # device-side accumulation; one readback after the loop
+            total = loss if total is None else total + loss
             batches += 1
             if with_map:
-                self.map_metric.update_state(y_true, y_pred)
-        out = {"val_loss": total / max(batches, 1)}
+                self.map_metric.update_state(y_true, y_pred,
+                                             image_valid=weight)
+        if mask:
+            # batch_size * per-image mean: identical to the unmasked
+            # mean-of-batch-sums whenever the batch size divides the set,
+            # and the exact unpadded value when it doesn't.
+            val_loss = (float(total) * ds.batch_size / max(ds.num_examples, 1)
+                        if batches else 0.0)
+        else:
+            val_loss = float(total) / max(batches, 1) if batches else 0.0
+        out = {"val_loss": val_loss}
         if with_map:
             out["val_mAP"] = self.map_metric.result()
         return out
@@ -267,12 +297,18 @@ class Trainer:
         early_stop_patience: Optional[int] = None,
         reduce_on_plateau: Optional[Tuple[float, int, float]] = None,
         verbose: bool = True,
+        start_epoch: Optional[int] = None,
     ) -> TrainState:
         """``reduce_on_plateau=(factor, patience, min_lr)`` reproduces the
         reference's ReduceLROnPlateau callback (constructed at ref
         train.py:143-148): after ``patience`` epochs without val_loss
         improvement, scale the scheduled LR by ``factor`` (floored at
-        ``min_lr``)."""
+        ``min_lr``).
+
+        ``start_epoch``: resume point on the LR schedule / checkpoint axis.
+        Pass ``ckpt.latest_epoch + 1`` when resuming (the checkpoint step IS
+        the epoch); defaults to inferring it from the optimizer step count,
+        which is only exact if batch size and dataset size are unchanged."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.train.epochs
         if state is None:
@@ -280,7 +316,10 @@ class Trainer:
         # Resume-aware epoch numbering: continue the LR schedule and the
         # checkpoint step counter from where the restored state left off
         # instead of restarting at epoch 0.
-        epoch_offset = int(state.step) // max(len(train_ds), 1)
+        if start_epoch is not None:
+            epoch_offset = start_epoch
+        else:
+            epoch_offset = int(state.step) // max(len(train_ds), 1)
         lrs = epoch_schedule(cfg.train.schedule, epoch_offset + epochs)
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
 

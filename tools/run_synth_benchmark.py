@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scaled synthetic e2e benchmark: train a 20-class detector on a few hundred
+generated images (tools/make_synthetic_dataset.py) on the attached TPU and
+record val mAP — the evidence, beyond the toy fixtures, that the full
+pipeline (input -> on-device augmentation -> train step -> checkpoint ->
+decode/NMS/mAP) learns at real multi-class sizes. Fills the role of the
+reference's VOC experiment log (ref train_info.txt) in this zero-egress
+container.
+
+Usage:
+  python tools/make_synthetic_dataset.py --out /tmp/synth --train 400 --val 80
+  python tools/run_synth_benchmark.py --data /tmp/synth \
+      --workdir /tmp/synth_run --epochs 150
+
+Writes ``<workdir>/results.json`` with the final val loss / mAP and
+throughput, plus the best checkpoint under ``<workdir>/ckpt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", required=True, help="dir with train/ and val/")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--backbone", default="darknet_tiny")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from keras_object_detection_tpu.utils.jax_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+    import jax
+
+    from keras_object_detection_tpu.config import (
+        Config, DataConfig, EvalConfig, GridConfig, ModelConfig,
+        ScheduleConfig, TrainConfig,
+    )
+    from keras_object_detection_tpu.data.pipeline import YoloDataset
+    from keras_object_detection_tpu.train.loop import Trainer
+
+    cfg = Config(
+        grid=GridConfig(num_classes=args.num_classes),
+        model=ModelConfig(backbone=args.backbone, head="conv",
+                          image_size=args.image_size),
+        data=DataConfig(
+            train_dir=os.path.join(args.data, "train"),
+            val_dir=os.path.join(args.data, "val"),
+            batch_size=args.batch_size, max_boxes_per_image=8,
+            cache_in_memory=True),
+        train=TrainConfig(
+            epochs=args.epochs, optimizer="adam",
+            schedule=ScheduleConfig(kind="constant", base_lr=args.lr),
+            # the paper's no-object term trains both box slots' confidences
+            noobj_mode="all",
+            checkpoint_dir=os.path.join(args.workdir, "ckpt"),
+            log_dir=os.path.join(args.workdir, "logs"),
+            map_eval_start_epoch=args.epochs + 1,  # mAP once, at the end
+            seed=args.seed),
+        # learned boxes surface earlier at a lower serving threshold; padded
+        # partial batches are masked out of the metrics (80 % 16 == 0 here,
+        # but keep the de-biased path on for arbitrary sizes)
+        eval=EvalConfig(conf_threshold=0.25, mask_padded_images=True),
+    )
+    os.makedirs(args.workdir, exist_ok=True)
+    with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
+        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+        f.write(cfg.to_json())
+
+    train_ds = YoloDataset(cfg.data.train_dir, args.image_size,
+                           args.batch_size, max_boxes=8, shuffle=True,
+                           seed=args.seed, cache_in_memory=True)
+    val_ds = YoloDataset(cfg.data.val_dir, args.image_size, args.batch_size,
+                         max_boxes=8, cache_in_memory=True)
+    print(f"devices: {jax.devices()}; train {train_ds.num_examples} "
+          f"/ val {val_ds.num_examples} images")
+
+    trainer = Trainer(cfg, use_tensorboard=False)
+    t0 = time.time()
+    state = trainer.fit(train_ds, val_ds, verbose=True)
+    train_wall = time.time() - t0
+
+    results = trainer.evaluate(state, val_ds)
+    results = {k: float(v) for k, v in results.items()}
+    results.update(
+        train_wall_s=round(train_wall, 1),
+        epochs=args.epochs,
+        train_images=train_ds.num_examples,
+        val_images=val_ds.num_examples,
+        num_classes=args.num_classes,
+        backbone=args.backbone,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        images_per_s_train=round(
+            args.epochs * train_ds.num_examples / train_wall, 1),
+    )
+    trainer.ckpt.close()
+    with open(os.path.join(args.workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print("RESULTS", json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

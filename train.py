@@ -121,6 +121,7 @@ def main():
     trainer = Trainer(cfg)
 
     state = None
+    start_epoch = None
     if args.resume:
         import jax
 
@@ -128,7 +129,11 @@ def main():
         try:
             state = trainer.ckpt.restore(template,
                                          step=trainer.ckpt.latest_step)
-            print(f"resumed from step {int(state.step)}")
+            # The checkpoint axis is the epoch; resume the LR schedule from
+            # the next epoch regardless of batch/dataset size changes.
+            start_epoch = trainer.ckpt.latest_epoch + 1
+            print(f"resumed from epoch {start_epoch} "
+                  f"(optimizer step {int(state.step)})")
         except FileNotFoundError:
             print("no checkpoint to resume from; starting fresh")
 
@@ -136,14 +141,16 @@ def main():
         from keras_object_detection_tpu.utils.profiling import trace
 
         with trace(args.profile_dir):
-            state = trainer.fit(train_ds, val_ds, epochs=1, state=state)
+            state = trainer.fit(train_ds, val_ds, epochs=1, state=state,
+                                start_epoch=start_epoch)
         remaining = cfg.train.epochs - 1
         if remaining > 0:
             state = trainer.fit(train_ds, val_ds, epochs=remaining, state=state,
                                 early_stop_patience=args.early_stop_patience)
     else:
         state = trainer.fit(train_ds, val_ds, state=state,
-                            early_stop_patience=args.early_stop_patience)
+                            early_stop_patience=args.early_stop_patience,
+                            start_epoch=start_epoch)
 
     if cfg.data.test_dir:
         # post-fit: reload best checkpoint and evaluate on test
