@@ -42,9 +42,14 @@ class ModelConfig:
     head_dense_units: int = 4960  # ref model.py:100
     head_batchnorm: bool = True  # False = test_model's plain head (ref model.py:164-167)
     activation: str = "relu"  # "leaky_relu" = the paper's LeakyReLU(0.1) (ref model.py:62)
-    # "fused" = Pallas single-pass BN-stats kernels (ops/pallas_bn.py), the
-    # TPU hot path; "flax" = stock nn.BatchNorm (checkpoint-compatible).
-    bn_mode: str = "fused"
+    # BatchNorm batch-stats implementation (all checkpoint-compatible):
+    # "flax" = stock nn.BatchNorm — the measured-fastest train step (48.5
+    # ms/step flagship); "fused" = Pallas single-pass kernels
+    # (ops/pallas_bn.py; 61.3 ms — pallas_call fusion barriers cost more than
+    # the kernels save); "mxu" = reductions as dot-products (ops/mxu_bn.py;
+    # 55.9 ms — XLA canonicalizes the dots back into reduces). Both custom
+    # paths are kept as documented negative results (see ROADMAP.md).
+    bn_mode: str = "flax"
     dropout_rate: float = 0.5
     remat: bool = False  # rematerialize backbone activations (bigger batches)
     # Path to a Keras .h5 (full model or weights) with pretrained backbone

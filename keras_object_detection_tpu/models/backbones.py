@@ -54,7 +54,7 @@ class _InvertedResidual(nn.Module):
     strides: int
     expand: int
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -90,7 +90,7 @@ class MobileNetV2Backbone(nn.Module):
     """
 
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
     schedule: Sequence[Tuple[int, int, int, int]] = (
         (1, 16, 1, 1),
         (6, 24, 2, 2),
@@ -121,17 +121,17 @@ class MobileNetV2Backbone(nn.Module):
         return x
 
 
-def _darknet24(dtype, activation="relu", bn_mode="fused"):
+def _darknet24(dtype, activation="relu", bn_mode="flax"):
     return DarknetBackbone(architecture=ARCHITECTURE_CONFIG,
                            activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
-def _darknet_tiny(dtype, activation="relu", bn_mode="fused"):
+def _darknet_tiny(dtype, activation="relu", bn_mode="flax"):
     return DarknetBackbone(architecture=DARKNET_TINY_CONFIG,
                            activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
-def _darknet_micro(dtype, activation="relu", bn_mode="fused"):
+def _darknet_micro(dtype, activation="relu", bn_mode="flax"):
     return DarknetBackbone(architecture=DARKNET_MICRO_CONFIG,
                            activation=activation, dtype=dtype, bn_mode=bn_mode)
 
@@ -142,8 +142,8 @@ BACKBONES = {
     "darknet24": _darknet24,
     "darknet_tiny": _darknet_tiny,
     "darknet_micro": _darknet_micro,
-    "vgg16": lambda dtype, activation="relu", bn_mode="fused":
+    "vgg16": lambda dtype, activation="relu", bn_mode="flax":
         VGG16Backbone(dtype=dtype),
-    "mobilenetv2": lambda dtype, activation="relu", bn_mode="fused":
+    "mobilenetv2": lambda dtype, activation="relu", bn_mode="flax":
         MobileNetV2Backbone(dtype=dtype, bn_mode=bn_mode),
 }

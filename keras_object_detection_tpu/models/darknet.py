@@ -70,7 +70,7 @@ class DarknetBackbone(nn.Module):
     architecture: Sequence[Any] = ARCHITECTURE_CONFIG
     activation: str = "relu"
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

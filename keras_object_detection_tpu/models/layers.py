@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax.linen import dtypes as flax_dtypes
 
+from keras_object_detection_tpu.ops.mxu_bn import mxu_bn_train
 from keras_object_detection_tpu.ops.pallas_bn import fused_bn_train
 
 Dtype = Any
@@ -22,9 +23,18 @@ Dtype = Any
 
 class FusedBatchNorm(nn.Module):
     """flax.linen.BatchNorm drop-in whose training-mode batch statistics run
-    through the Pallas single-pass kernels (ops/pallas_bn.py) instead of XLA's
-    unfused convert+reduce chains — the profiled round-1 bottleneck (15.1 ms
-    of a 41.7 ms step; ROADMAP.md).
+    through a custom single-pass path instead of XLA's convert+reduce chains —
+    an attack on the profiled round-1 bottleneck (15.1 ms of a 41.7 ms step;
+    ROADMAP.md) that turned out to be a NEGATIVE RESULT both ways: stock flax
+    measures fastest end-to-end (48.5 vs 55.9 "mxu" vs 61.3 "pallas" ms/step),
+    because the reduces already run at this chip's practical elementwise
+    bandwidth and every custom path only adds barriers (details: ROADMAP.md).
+    Kept opt-in for future hardware. ``stats`` selects the implementation:
+
+    - ``"mxu"``: reductions as MXU dot-products (ops/mxu_bn.py) — pure XLA,
+      no fusion barriers, but XLA canonicalizes the dots back into reduces,
+    - ``"pallas"``: Pallas kernels (ops/pallas_bn.py) — the kernels are fast
+      but ``pallas_call`` barriers cost more than they save.
 
     Variable layout (params scale/bias, batch_stats mean/var) and numerics
     (float32 stats, fast variance, float32 normalize arithmetic cast to
@@ -41,7 +51,9 @@ class FusedBatchNorm(nn.Module):
     epsilon: float = 1e-3
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    stats: str = "mxu"  # "mxu" | "pallas"
     # None = auto: compiled kernel on TPU, interpreter elsewhere (tests).
+    # Only meaningful for stats="pallas".
     interpret: Optional[bool] = None
 
     @nn.compact
@@ -66,11 +78,15 @@ class FusedBatchNorm(nn.Module):
             y = (x.astype(jnp.float32) - mean) * mul + bias.astype(jnp.float32)
             return y.astype(out_dtype)
 
-        interpret = self.interpret
-        if interpret is None:
-            interpret = jax.default_backend() in ("cpu", "gpu")
-        y, mean, var = fused_bn_train(x, scale, bias, self.epsilon,
-                                      out_dtype, interpret)
+        if self.stats == "mxu":
+            y, mean, var = mxu_bn_train(x, scale, bias, self.epsilon,
+                                        out_dtype)
+        else:
+            interpret = self.interpret
+            if interpret is None:
+                interpret = jax.default_backend() in ("cpu", "gpu")
+            y, mean, var = fused_bn_train(x, scale, bias, self.epsilon,
+                                          out_dtype, interpret)
         if not self.is_initializing():
             ra_mean.value = (self.momentum * ra_mean.value
                              + (1 - self.momentum) * mean)
@@ -83,18 +99,21 @@ def make_batch_norm(bn_mode: str, *, use_running_average: bool,
                     momentum: float = 0.99, epsilon: float = 1e-3,
                     dtype: Optional[Dtype] = None,
                     name: Optional[str] = None):
-    """BatchNorm factory: ``"fused"`` = Pallas-stats module (default on the
-    hot path), ``"flax"`` = stock ``nn.BatchNorm``. Pass ``name`` so variable
+    """BatchNorm factory: ``"flax"`` = stock ``nn.BatchNorm`` (the measured
+    fastest, the default), ``"mxu"`` = MXU dot-product stats, ``"fused"`` =
+    Pallas-stats module (both measured net regressions, kept as opt-in
+    experiments — see FusedBatchNorm docstring). Pass ``name`` so variable
     trees stay identical across modes."""
-    if bn_mode == "fused":
+    if bn_mode in ("mxu", "fused"):
         return FusedBatchNorm(use_running_average=use_running_average,
                               momentum=momentum, epsilon=epsilon, dtype=dtype,
+                              stats="mxu" if bn_mode == "mxu" else "pallas",
                               name=name)
     if bn_mode == "flax":
         return nn.BatchNorm(use_running_average=use_running_average,
                             momentum=momentum, epsilon=epsilon, dtype=dtype,
                             param_dtype=jnp.float32, name=name)
-    raise ValueError(f"unknown bn_mode {bn_mode!r}; options: fused, flax")
+    raise ValueError(f"unknown bn_mode {bn_mode!r}; options: mxu, fused, flax")
 
 
 class ConvBlock(nn.Module):
@@ -115,7 +134,7 @@ class ConvBlock(nn.Module):
     # (ref model.py:62).
     activation: str = "relu"
     dtype: Dtype = jnp.float32
-    bn_mode: str = "fused"  # "fused" = Pallas BN stats | "flax" = stock BN
+    bn_mode: str = "flax"  # "fused" = Pallas BN stats | "flax" = stock BN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

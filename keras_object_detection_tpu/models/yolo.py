@@ -29,7 +29,7 @@ class ConvHead(nn.Module):
     cell_depth: int
     grid: int = 7
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -56,7 +56,7 @@ class GAPDenseHead(nn.Module):
     units: int = 4960
     use_batchnorm: bool = True
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -82,7 +82,7 @@ class MultiConvDenseHead(nn.Module):
     dense_units: Sequence[int] = (512, 1024)  # vgg16 variant; mnv2 uses (4096,)
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
-    bn_mode: str = "fused"
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -120,7 +120,7 @@ class YoloV1(nn.Module):
     activation: str = "relu"  # darknet conv activation; "leaky_relu" = paper
     flat_output: bool = False
     remat: bool = False
-    bn_mode: str = "fused"  # "fused" = Pallas BN-stats kernels | "flax"
+    bn_mode: str = "flax"  # "fused" = Pallas BN-stats kernels | "flax"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -171,5 +171,5 @@ def build_model(config: Config) -> YoloV1:
         head_batchnorm=getattr(m, "head_batchnorm", True),
         activation=getattr(m, "activation", "relu"),
         remat=getattr(m, "remat", False),
-        bn_mode=getattr(m, "bn_mode", "fused"),
+        bn_mode=getattr(m, "bn_mode", "flax"),
     )

@@ -18,6 +18,11 @@ throughput, plus the best checkpoint under ``<workdir>/ckpt``.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
@@ -74,8 +79,8 @@ def main():
         eval=EvalConfig(conf_threshold=0.25, mask_padded_images=True),
     )
     os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
     with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
-        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
         f.write(cfg.to_json())
 
     train_ds = YoloDataset(cfg.data.train_dir, args.image_size,
