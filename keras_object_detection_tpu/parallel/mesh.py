@@ -54,3 +54,34 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Fully replicated (parameters, optimizer state, scalars)."""
     return NamedSharding(mesh, P())
+
+
+# Tensor-parallel threshold: tensors with at least this many ELEMENTS get
+# their last (output-features) dim sharded over the model axis. 1M elements
+# = 4 MB f32 — catches the dense-head kernels (e.g. VGG16's flatten head,
+# 100k x 4096 = 411M params; GAP head 4960-unit kernels) while leaving conv
+# filters, biases, and BN vectors replicated.
+TP_MIN_ELEMENTS = 1 << 20
+
+
+def state_sharding(mesh: Mesh, tree, model_axis: str = "model",
+                   min_elements: int = TP_MIN_ELEMENTS):
+    """Sharding pytree for a train state (or any param/opt pytree).
+
+    Rule: rank>=2 tensors with >= ``min_elements`` elements are sharded on
+    their LAST dim over the model axis (column-parallel dense: each shard
+    computes its own output features; XLA inserts the all-gather where a
+    consumer needs the full activation). Everything else is replicated.
+    Adam/EMA moments mirror the param shapes, so they pick up identical
+    shardings by the same rule. With ``model_parallel=1`` the spec degrades
+    to fully-replicated, so this is safe as the universal default.
+    """
+    def rule(x):
+        if (hasattr(x, "ndim") and x.ndim >= 2
+                and x.size >= min_elements
+                and x.shape[-1] % mesh.shape[model_axis] == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + [model_axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)

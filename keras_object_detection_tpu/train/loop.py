@@ -38,6 +38,7 @@ from keras_object_detection_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
     replicated_sharding,
+    state_sharding,
 )
 from keras_object_detection_tpu.train.checkpoint import CheckpointManager
 from keras_object_detection_tpu.train.metrics_logger import MetricLogger
@@ -227,9 +228,11 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh, config.mesh.data_axis)
         self._replicated = replicated_sharding(self.mesh)
 
-        self._train_step = jax.jit(
-            make_train_step(config), donate_argnums=(0,),
-            out_shardings=(self._replicated, self._replicated))
+        # The train step's out_shardings mirror the state tree (tensor-
+        # parallel leaves on the model axis, everything else replicated), so
+        # the jit is built lazily on the first step, once a state exists.
+        self._train_step_fn = make_train_step(config)
+        self._train_step_jit = None
         self._eval_step = jax.jit(make_eval_step(config))
         self.logger = MetricLogger(config.train.log_dir,
                                    use_tensorboard=use_tensorboard)
@@ -244,7 +247,21 @@ class Trainer:
         rng = jax.random.PRNGKey(
             self.config.train.seed if seed is None else seed)
         state = create_train_state(self.config, rng)
-        return jax.device_put(state, self._replicated)
+        # DP: replicate everything. With model_parallel > 1, large dense
+        # kernels (and their mirrored optimizer/EMA moments) land sharded on
+        # the model axis instead (tensor parallelism; parallel/mesh.py).
+        return jax.device_put(
+            state, state_sharding(self.mesh, state,
+                                  self.config.mesh.model_axis))
+
+    def _train_step(self, state: TrainState, *args):
+        if self._train_step_jit is None:
+            out_state_shardings = state_sharding(
+                self.mesh, state, self.config.mesh.model_axis)
+            self._train_step_jit = jax.jit(
+                self._train_step_fn, donate_argnums=(0,),
+                out_shardings=(out_state_shardings, self._replicated))
+        return self._train_step_jit(state, *args)
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,
                         with_map: bool) -> Dict[str, float]:

@@ -138,6 +138,49 @@ def test_data_parallel_mesh_training(tmp_path, data_dir):
     trainer.ckpt.close()
 
 
+def test_tensor_parallel_head_training(tmp_path, data_dir):
+    """dp x tp over the 8-device fake mesh: a (4 data, 2 model) mesh with the
+    GAP head's dense kernels column-sharded on the model axis. The tp step's
+    loss must match the pure-DP step from the same init (XLA's all-gather /
+    reduce insertion is numerics-preserving up to reduction order)."""
+    import dataclasses
+
+    cfg = _tiny_config(str(tmp_path), batch_size=8)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, head="gap_dense"))
+    ds = YoloDataset(data_dir, cfg.model.image_size, 8, max_boxes=8)
+    images, boxes, valid = next(ds.epoch())
+    rng = jax.random.PRNGKey(2)
+
+    state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, m1 = jax.jit(make_train_step(cfg))(
+        state1, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+        rng)
+
+    from keras_object_detection_tpu.parallel.mesh import state_sharding
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    trainer = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    state2 = trainer.init_state()
+    # the head kernel (and its mirrored Adam moments) must actually be
+    # sharded over the model axis
+    shardings = state_sharding(mesh, state2)
+    sharded_leaves = [
+        s for s in jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec"))
+        if any(p is not None for p in s.spec)]
+    assert len(sharded_leaves) >= 3, "expected tp-sharded dense kernels"
+    batch = jax.device_put((jnp.asarray(images), jnp.asarray(boxes),
+                            jnp.asarray(valid)), trainer._batch_sharding)
+    state2, m2 = trainer._train_step(state2, *batch, rng)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=2e-4)
+    # a second step runs from the sharded output state (donation + resharding)
+    state2, m3 = trainer._train_step(state2, *batch, rng)
+    assert np.isfinite(float(m3["total"]))
+    trainer.ckpt.close()
+
+
 def test_dp_matches_single_device(tmp_path, data_dir):
     """Gradient all-reduce correctness: a sharded step and a single-device
     step from the same state produce the same loss."""

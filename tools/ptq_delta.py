@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Measure the int8 post-training-quantization mAP delta on a trained
+checkpoint — the validation the reference never ran on its own commented-out
+int8 recipe (ref convert_to_tflite.py:17-30).
+
+Two quantization paths are measured against the float baseline on the same
+validation set:
+- JAX-native int8 weight quantization (export/quantize.py): per-channel
+  symmetric int8 weights dequantized inside the jitted forward,
+- LiteRT full-int8 PTQ (export/litert.py): activations AND weights int8,
+  uint8 I/O, calibrated on real validation images.
+
+Usage (after tools/run_synth_benchmark.py):
+  python tools/ptq_delta.py --workdir /tmp/synth_run --data /tmp/synth/val
+
+Writes ``<workdir>/ptq_delta.json``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True,
+                   help="run dir containing ckpt/ (with config.json)")
+    p.add_argument("--data", required=True, help="validation YOLO-format dir")
+    p.add_argument("--skip-litert", action="store_true")
+    args = p.parse_args()
+
+    from keras_object_detection_tpu.utils.jax_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keras_object_detection_tpu.config import Config
+    from keras_object_detection_tpu.data.pipeline import YoloDataset
+    from keras_object_detection_tpu.core.grid import encode_grid
+    from keras_object_detection_tpu.eval.evaluator import Evaluator
+    from keras_object_detection_tpu.export.quantize import (
+        dequantize_params, quantize_params, quantized_size_bytes)
+    from keras_object_detection_tpu.ops.map import MeanAveragePrecision
+    from keras_object_detection_tpu.train.checkpoint import CheckpointManager
+    from keras_object_detection_tpu.train.loop import create_train_state
+
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    cfg = Config.from_json(open(os.path.join(ckpt_dir, "config.json")).read())
+    template = jax.device_get(create_train_state(cfg, jax.random.PRNGKey(0)))
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(template)
+    print(f"restored best checkpoint (epoch {mgr.best_step})")
+
+    ds = YoloDataset(args.data, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=cfg.data.max_boxes_per_image)
+
+    # --- float baseline ------------------------------------------------------
+    float_eval = Evaluator(cfg).evaluate(state, ds)
+    print(f"float:     mAP {float_eval['mAP']:.4f}")
+
+    # --- JAX int8 weight quantization ---------------------------------------
+    qparams = quantize_params(state.params)
+    qbytes, fbytes = quantized_size_bytes(qparams)
+    deq_state = state.replace(params=jax.device_get(dequantize_params(qparams)))
+    int8_eval = Evaluator(cfg).evaluate(deq_state, ds)
+    print(f"jax int8:  mAP {int8_eval['mAP']:.4f} "
+          f"(weights {qbytes/1e6:.1f} MB vs {fbytes/1e6:.1f} MB f32)")
+
+    results = {
+        "float_mAP": float(float_eval["mAP"]),
+        "float_loss": float(float_eval["loss"]),
+        "jax_int8_mAP": float(int8_eval["mAP"]),
+        "jax_int8_delta": float(int8_eval["mAP"] - float_eval["mAP"]),
+        "jax_int8_weight_mb": qbytes / 1e6,
+        "float_weight_mb": fbytes / 1e6,
+        "val_images": ds.num_examples,
+    }
+
+    # --- LiteRT full-int8 PTQ ------------------------------------------------
+    if not args.skip_litert:
+        from keras_object_detection_tpu.export.litert import export_tflite
+
+        size = cfg.model.image_size
+
+        def rep_dataset():
+            # calibrate on real validation images (stronger than the
+            # reference's random-uniform recipe, ref convert_to_tflite.py:9-13)
+            n = 0
+            for images, _, _ in ds.epoch():
+                for img in images:
+                    yield [img[None].astype(np.float32) / 255.0]
+                    n += 1
+                    if n >= 100:
+                        return
+
+        path = os.path.join(args.workdir, "model_int8.tflite")
+        export_tflite(cfg, jax.device_get(state.params),
+                      jax.device_get(state.batch_stats), path,
+                      quantize_int8=True, representative_dataset=rep_dataset)
+
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_path=path)
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        out = interp.get_output_details()[0]
+        oscale, ozero = out["quantization"]
+        iscale, izero = inp["quantization"]
+
+        metric = MeanAveragePrecision(
+            cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
+            iou_threshold=cfg.eval.iou_threshold,
+            conf_threshold=cfg.eval.conf_threshold,
+            map_iou_threshold=cfg.eval.map_iou_threshold)
+        n_done = 0
+        for images, boxes, valid in ds.epoch():
+            real = int(valid.any(axis=-1).sum()) if valid.any() else len(images)
+            y_true = jax.vmap(
+                lambda b, v: encode_grid(b, v, cfg.grid.num_classes,
+                                         cfg.grid.num_boxes, cfg.grid.grid)
+            )(jnp.asarray(boxes), jnp.asarray(valid))
+            preds = []
+            for img in images:
+                if inp["dtype"] == np.uint8:
+                    # uint8 input: q = round(float/iscale) + izero with
+                    # float = u8/255
+                    q = np.clip(np.round((img.astype(np.float32) / 255.0)
+                                         / iscale + izero), 0, 255
+                                ).astype(np.uint8)
+                else:
+                    q = img[None].astype(np.float32) / 255.0
+                interp.set_tensor(inp["index"], q[None] if q.ndim == 3 else q)
+                interp.invoke()
+                y = interp.get_tensor(out["index"]).astype(np.float32)
+                if out["dtype"] == np.uint8:
+                    y = (y - ozero) * oscale
+                preds.append(y[0])
+            metric.update_state(np.asarray(y_true), np.stack(preds))
+            n_done += len(images)
+        litert_map = metric.result()
+        print(f"litert int8: mAP {litert_map:.4f} ({n_done} images)")
+        results.update(
+            litert_int8_mAP=float(litert_map),
+            litert_int8_delta=float(litert_map - float_eval["mAP"]),
+            litert_model_mb=os.path.getsize(path) / 1e6,
+        )
+
+    mgr.close()
+    with open(os.path.join(args.workdir, "ptq_delta.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print("RESULTS", json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,14 @@ def main():
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--backbone", default="darknet_tiny")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--plateau", default="0.5,15,1e-5",
+                   help="reduce-on-plateau 'factor,patience,min_lr' ('' = off)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    plateau = None
+    if args.plateau:
+        f_, p_, m_ = args.plateau.split(",")
+        plateau = (float(f_), int(p_), float(m_))
 
     from keras_object_detection_tpu.utils.jax_cache import (
         enable_persistent_cache)
@@ -93,7 +99,8 @@ def main():
 
     trainer = Trainer(cfg, use_tensorboard=False)
     t0 = time.time()
-    state = trainer.fit(train_ds, val_ds, verbose=True)
+    state = trainer.fit(train_ds, val_ds, verbose=True,
+                        reduce_on_plateau=plateau)
     train_wall = time.time() - t0
 
     results = trainer.evaluate(state, val_ds)
