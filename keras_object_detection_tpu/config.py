@@ -52,6 +52,10 @@ class ModelConfig:
     bn_mode: str = "flax"
     dropout_rate: float = 0.5
     remat: bool = False  # rematerialize backbone activations (bigger batches)
+    # "full" = recompute everything in backward (max memory savings);
+    # "dots" = save conv/matmul outputs, recompute only elementwise chains
+    # (BN normalize / ReLU / pool) — cheaper recompute, less HBM saved.
+    remat_policy: str = "full"
     # Path to a Keras .h5 (full model or weights) with pretrained backbone
     # weights, converted via models/pretrained.py (ref model.py:178
     # weights='imagenet'); "" = random init (ref uses weights=None for MNv2).
@@ -89,6 +93,10 @@ class DataConfig:
     # on-device, so the host work is identical every epoch). ~600 KB/image
     # at 448x448.
     cache_in_memory: bool = False
+    # Decode-ahead DISK cache dir for datasets too big for RAM: images are
+    # decoded once into a uint8 memmap (data/disk_cache.py), epochs read raw
+    # bytes. "" disables. A per-split subdir is derived automatically.
+    cache_dir: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

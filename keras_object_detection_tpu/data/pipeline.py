@@ -48,6 +48,7 @@ class YoloDataset:
         shard_index: int = 0,
         shard_count: int = 1,
         cache_in_memory: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         """``shard_index``/``shard_count``: multi-host input sharding — each
         host reads a disjoint strided slice of the file list (the DCN-scale
@@ -59,7 +60,12 @@ class YoloDataset:
         RAM after first read. Since augmentation runs on-device, the host
         work per example is identical every epoch — caching removes the JPEG
         decode from the steady-state input path entirely (~600 KB/image at
-        448 square; size accordingly)."""
+        448 square; size accordingly).
+
+        ``cache_dir``: decode-ahead DISK cache (``data/disk_cache.py``) for
+        datasets too big for RAM — images are decoded once into a uint8
+        memmap (built eagerly on construction if absent/stale) and epochs
+        read raw bytes instead of re-decoding JPEGs."""
         paths = np.array(list_examples(data_dir))
         if shard_count > 1:
             paths = paths[shard_index::shard_count]
@@ -74,6 +80,14 @@ class YoloDataset:
         self._rng = np.random.RandomState(seed)
         self._pool = concurrent.futures.ThreadPoolExecutor(num_workers)
         self._cache: Optional[dict] = {} if cache_in_memory else None
+        self._disk = None
+        if cache_dir is not None:
+            from keras_object_detection_tpu.data.disk_cache import (
+                open_or_build)
+
+            self._disk = open_or_build(list(self.paths), image_size,
+                                       max_boxes, cache_dir)
+            self._disk_index = {p: i for i, p in enumerate(self.paths)}
 
     def __len__(self) -> int:
         n, b = len(self.paths), self.batch_size
@@ -90,7 +104,10 @@ class YoloDataset:
             hit = self._cache.get(path)
             if hit is not None:
                 return hit
-        ex = load_example(path, self.image_size, self.max_boxes)
+        if self._disk is not None:
+            ex = self._disk.load(self._disk_index[path])
+        else:
+            ex = load_example(path, self.image_size, self.max_boxes)
         if self._cache is not None:
             self._cache[path] = ex
         return ex

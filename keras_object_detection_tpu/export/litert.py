@@ -11,6 +11,7 @@ Two paths:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Iterator, Optional
 
 import jax
@@ -23,6 +24,14 @@ from keras_object_detection_tpu.models.yolo import build_model
 
 def _make_serving_fn(config: Config, params: Any, batch_stats: Any,
                      batch_size: int = 1) -> Callable:
+    # Export in float32 regardless of the training compute dtype: params are
+    # f32 either way (bf16 is activations-only), and bf16 ops in the exported
+    # graph break LiteRT full-int8 legalization (bf16 tfl.pad is not
+    # quantizable -> "failed to legalize operation 'tfl.pad'").
+    if config.model.compute_dtype != "float32":
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, compute_dtype="float32"))
     model = build_model(config)
     g = config.grid
     variables = {"params": params, "batch_stats": batch_stats}

@@ -132,10 +132,16 @@ def make_train_step(config: Config):
             )
 
         if config.model.remat:
-            # Full-forward rematerialization: the backward pass recomputes
-            # activations instead of storing them — trades FLOPs for HBM so
-            # larger batches fit (name-stable, unlike module-level nn.remat).
-            forward = jax.checkpoint(forward)
+            # Rematerialization: the backward pass recomputes activations
+            # instead of storing them — trades FLOPs for HBM so larger
+            # batches fit (name-stable, unlike module-level nn.remat).
+            # policy "dots" keeps conv/matmul outputs resident and only
+            # recomputes the elementwise BN/ReLU/pool chains.
+            if getattr(config.model, "remat_policy", "full") == "dots":
+                forward = jax.checkpoint(
+                    forward, policy=jax.checkpoint_policies.dots_saveable)
+            else:
+                forward = jax.checkpoint(forward)
 
         def loss_fn(params):
             if freeze_key is not None:

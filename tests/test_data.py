@@ -178,3 +178,32 @@ def test_cache_in_memory_identical_and_faster(data_dir):
     next(ds_nc.epoch())
     uncached_t = time.perf_counter() - t0
     assert cached_t < uncached_t
+
+
+def test_disk_cache_identical_and_stale_rebuild(data_dir, tmp_path):
+    """cache_dir: batches from the decode-ahead memmap cache are identical to
+    live decode; a stale cache (different image_size) is rebuilt, a valid one
+    is reused (mtimes preserved)."""
+    import json
+
+    cache = str(tmp_path / "cache")
+    ds_live = YoloDataset(data_dir, 224, 5)
+    ds_disk = YoloDataset(data_dir, 224, 5, cache_dir=cache)
+    a = next(ds_live.epoch())
+    b = next(ds_disk.epoch())
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+
+    # valid cache is reused: meta file untouched on reopen
+    meta = os.path.join(cache, "meta.json")
+    before = os.path.getmtime(meta)
+    YoloDataset(data_dir, 224, 5, cache_dir=cache)
+    assert os.path.getmtime(meta) == before
+    # stale (different size): rebuilt with new geometry, still correct
+    ds_96 = YoloDataset(data_dir, 96, 5, cache_dir=cache)
+    assert json.load(open(meta))["image_size"] == 96
+    img96 = next(ds_96.epoch())[0]
+    assert img96.shape[1:] == (96, 96, 3)
+    np.testing.assert_array_equal(
+        img96[0], next(YoloDataset(data_dir, 96, 5).epoch())[0][0])

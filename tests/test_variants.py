@@ -52,12 +52,22 @@ def test_remat_train_step_matches_plain(tmp_path):
     valid = jnp.zeros((2, 8), bool)
     key = jax.random.PRNGKey(1)
 
+    dcfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, remat=True,
+                                        remat_policy="dots"))
+
     s1 = create_train_state(base, jax.random.PRNGKey(0))
-    s2 = create_train_state(rcfg, jax.random.PRNGKey(0))
-    _, m1 = jax.jit(make_train_step(base))(s1, images, boxes, valid, key)
-    _, m2 = jax.jit(make_train_step(rcfg))(s2, images, boxes, valid, key)
-    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
-                               rtol=1e-5)
+    new1, m1 = jax.jit(make_train_step(base))(s1, images, boxes, valid, key)
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(new1.params)[0])
+    for cfg in (rcfg, dcfg):
+        s2 = create_train_state(cfg, jax.random.PRNGKey(0))
+        new2, m2 = jax.jit(make_train_step(cfg))(s2, images, boxes, valid, key)
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                                   rtol=1e-5)
+        # gradients (hence the updated params) must match too — remat only
+        # changes WHEN activations are computed, not the math
+        leaf2 = np.asarray(jax.tree_util.tree_leaves(new2.params)[0])
+        np.testing.assert_allclose(leaf1, leaf2, rtol=1e-4, atol=1e-6)
 
 
 def test_map_variant2_no_nms_on_targets():

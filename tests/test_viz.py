@@ -51,7 +51,9 @@ def test_visualize_dataset_tool(tmp_path):
         [sys.executable, "tools/visualize_dataset.py",
          "--data-dir", "/root/reference/yolo_v1/data",
          "--names", NAMES, "--out-dir", str(tmp_path), "--image-size", "224"],
-        capture_output=True, text=True, timeout=300,
+        # generous: fresh-compile requests can stall for minutes when another
+        # process is using the TPU relay (see CLAUDE.md environment gotchas)
+        capture_output=True, text=True, timeout=570,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0, out.stderr[-500:]

@@ -41,6 +41,12 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--plateau", default="0.5,15,1e-5",
                    help="reduce-on-plateau 'factor,patience,min_lr' ('' = off)")
+    p.add_argument("--ema", type=float, default=None,
+                   help="EMA decay for eval params (e.g. 0.999; default off)")
+    p.add_argument("--map-start", type=int, default=0,
+                   help="epoch after which periodic mAP eval starts "
+                        "(0 = only once at the end)")
+    p.add_argument("--map-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     plateau = None
@@ -77,7 +83,9 @@ def main():
             noobj_mode="all",
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
             log_dir=os.path.join(args.workdir, "logs"),
-            map_eval_start_epoch=args.epochs + 1,  # mAP once, at the end
+            map_eval_start_epoch=(args.map_start or args.epochs + 1),
+            map_eval_every=args.map_every,
+            ema_decay=args.ema,
             seed=args.seed),
         # learned boxes surface earlier at a lower serving threshold; padded
         # partial batches are masked out of the metrics (80 % 16 == 0 here,

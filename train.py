@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--early-stop-patience", type=int)
     p.add_argument("--cache-in-memory", action="store_true",
                    help="cache decoded uint8 images in host RAM across epochs")
+    p.add_argument("--cache-dir",
+                   help="decode-ahead disk cache dir (raw uint8 memmap; for "
+                        "datasets too big for --cache-in-memory)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
@@ -85,7 +88,8 @@ def build_config(args):
                    freeze_backbone=args.freeze_backbone or None),
         data=over(cfg.data, train_dir=train_dir, val_dir=val_dir,
                   test_dir=test_dir, batch_size=args.batch_size,
-                  cache_in_memory=args.cache_in_memory or None),
+                  cache_in_memory=args.cache_in_memory or None,
+                  cache_dir=args.cache_dir),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed),
@@ -107,16 +111,19 @@ def main():
     with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    cache_sub = (lambda split: os.path.join(cfg.data.cache_dir, split)
+                 if cfg.data.cache_dir else None)
     train_ds = YoloDataset(
         cfg.data.train_dir, cfg.model.image_size, cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image, shuffle=cfg.data.shuffle,
         drop_remainder=cfg.data.drop_remainder,
         num_workers=cfg.data.num_workers, seed=cfg.train.seed,
-        cache_in_memory=cfg.data.cache_in_memory)
+        cache_in_memory=cfg.data.cache_in_memory,
+        cache_dir=cache_sub("train"))
     val_ds = YoloDataset(
         cfg.data.val_dir, cfg.model.image_size, cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image,
-        num_workers=cfg.data.num_workers)
+        num_workers=cfg.data.num_workers, cache_dir=cache_sub("val"))
 
     trainer = Trainer(cfg)
 
