@@ -29,6 +29,8 @@ def main():
     p.add_argument("--grid-overlay", action="store_true",
                    help="draw the SxS lattice (ref get_grid_tagged_img)")
     p.add_argument("--latency-runs", type=int, default=5)
+    p.add_argument("--cache-dir",
+                   help="decode-ahead disk cache dir for --data-dir eval")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
     args = p.parse_args()
@@ -100,7 +102,8 @@ def main():
     if args.data_dir:
         ds = YoloDataset(args.data_dir, cfg.model.image_size,
                          cfg.data.batch_size,
-                         max_boxes=cfg.data.max_boxes_per_image)
+                         max_boxes=cfg.data.max_boxes_per_image,
+                         cache_dir=args.cache_dir)
         # --use-ema is the single source of truth here, matching the
         # single-image path above (config eval_with_ema only governs
         # in-training validation).

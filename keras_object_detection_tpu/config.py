@@ -49,6 +49,9 @@ class ModelConfig:
     # the kernels save); "mxu" = reductions as dot-products (ops/mxu_bn.py;
     # 55.9 ms — XLA canonicalizes the dots back into reduces). Both custom
     # paths are kept as documented negative results (see ROADMAP.md).
+    # "flax@N" = stock normalize with batch statistics over only the first N
+    # images (ghost-batch subsample — a bandwidth experiment, models/layers.py
+    # SubsetStatsBatchNorm).
     bn_mode: str = "flax"
     dropout_rate: float = 0.5
     remat: bool = False  # rematerialize backbone activations (bigger batches)

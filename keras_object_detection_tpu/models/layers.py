@@ -95,6 +95,56 @@ class FusedBatchNorm(nn.Module):
         return y
 
 
+class SubsetStatsBatchNorm(nn.Module):
+    """BatchNorm whose training-mode batch statistics are computed over only
+    the FIRST ``stats_rows`` images of the batch (ghost-batch style) while
+    every image is still normalized — an opt-in bandwidth lever: the profiled
+    BN-stats reductions run at the memory wall (ROADMAP.md), and subsampling
+    the stats cuts their activation reads by batch/stats_rows. Statistics
+    from a batch subset are an unbiased (noisier) estimator; running
+    averages, eval path, variable layout, and numerics order match
+    ``nn.BatchNorm`` so checkpoints interchange freely."""
+
+    stats_rows: int
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        out_dtype = flax_dtypes.canonicalize_dtype(x, scale, bias,
+                                                   dtype=self.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            sub = x[: min(self.stats_rows, x.shape[0])].astype(jnp.float32)
+            axes = tuple(range(sub.ndim - 1))
+            mean = jnp.mean(sub, axis=axes)
+            # fast variance (flax order): E[x^2] - E[x]^2
+            var = jnp.mean(sub * sub, axis=axes) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * mul + bias.astype(jnp.float32)
+        return y.astype(out_dtype)
+
+
 def make_batch_norm(bn_mode: str, *, use_running_average: bool,
                     momentum: float = 0.99, epsilon: float = 1e-3,
                     dtype: Optional[Dtype] = None,
@@ -102,8 +152,19 @@ def make_batch_norm(bn_mode: str, *, use_running_average: bool,
     """BatchNorm factory: ``"flax"`` = stock ``nn.BatchNorm`` (the measured
     fastest, the default), ``"mxu"`` = MXU dot-product stats, ``"fused"`` =
     Pallas-stats module (both measured net regressions, kept as opt-in
-    experiments — see FusedBatchNorm docstring). Pass ``name`` so variable
+    experiments — see FusedBatchNorm docstring), ``"flax@N"`` = stock
+    normalize with batch statistics over only the first N images
+    (SubsetStatsBatchNorm, a bandwidth experiment). Pass ``name`` so variable
     trees stay identical across modes."""
+    if "@" in bn_mode:
+        base, rows = bn_mode.split("@", 1)
+        if base != "flax" or not rows.isdigit() or int(rows) < 1:
+            raise ValueError(f"bad bn_mode {bn_mode!r}; subset form is "
+                             "'flax@N' with N >= 1")
+        return SubsetStatsBatchNorm(stats_rows=int(rows),
+                                    use_running_average=use_running_average,
+                                    momentum=momentum, epsilon=epsilon,
+                                    dtype=dtype, name=name)
     if bn_mode in ("mxu", "fused"):
         return FusedBatchNorm(use_running_average=use_running_average,
                               momentum=momentum, epsilon=epsilon, dtype=dtype,
@@ -113,7 +174,8 @@ def make_batch_norm(bn_mode: str, *, use_running_average: bool,
         return nn.BatchNorm(use_running_average=use_running_average,
                             momentum=momentum, epsilon=epsilon, dtype=dtype,
                             param_dtype=jnp.float32, name=name)
-    raise ValueError(f"unknown bn_mode {bn_mode!r}; options: mxu, fused, flax")
+    raise ValueError(
+        f"unknown bn_mode {bn_mode!r}; options: mxu, fused, flax, flax@N")
 
 
 class ConvBlock(nn.Module):

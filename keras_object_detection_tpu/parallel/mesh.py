@@ -59,8 +59,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 # Tensor-parallel threshold: tensors with at least this many ELEMENTS get
 # their last (output-features) dim sharded over the model axis. 1M elements
 # = 4 MB f32 — catches the dense-head kernels (e.g. VGG16's flatten head,
-# 100k x 4096 = 411M params; GAP head 4960-unit kernels) while leaving conv
-# filters, biases, and BN vectors replicated.
+# 100k x 4096 = 411M params; GAP head 4960-unit kernels) AND the widest
+# darknet conv filters (3x3x1024x1024 = 9.4M elements, column-sharded on
+# output channels), while leaving small conv filters, biases, and BN vectors
+# replicated.
 TP_MIN_ELEMENTS = 1 << 20
 
 

@@ -128,3 +128,85 @@ def test_convblock_all_bn_modes_checkpoint_compatible_and_equal():
             == jax.tree_util.tree_structure(inits["fused"]))
     np.testing.assert_allclose(outs["mxu"], outs["flax"], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs["fused"], outs["flax"], rtol=1e-5, atol=1e-5)
+
+
+class TestSubsetStatsBN:
+    """bn_mode='flax@N' (SubsetStatsBatchNorm): full-batch subset equals
+    stock flax bit-closely; smaller subsets use exactly the leading rows."""
+
+    def _mk(self, rows, c=16, use_running_average=False):
+        from keras_object_detection_tpu.models.layers import make_batch_norm
+        return make_batch_norm(f"flax@{rows}",
+                               use_running_average=use_running_average,
+                               momentum=0.99, epsilon=1e-3,
+                               dtype=jnp.float32)
+
+    def test_full_subset_matches_flax(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 7, 7, 16) * 2 + 1, jnp.float32)
+        variables = _flax_variables(16)
+        bn = nn.BatchNorm(use_running_average=False, momentum=0.99,
+                          epsilon=1e-3, dtype=jnp.float32,
+                          param_dtype=jnp.float32)
+        ref, ref_upd = bn.apply(variables, x, mutable=["batch_stats"])
+        sub = self._mk(rows=4)
+        got, got_upd = sub.apply(variables, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(got_upd["batch_stats"][k]),
+                np.asarray(ref_upd["batch_stats"][k]), rtol=1e-5, atol=1e-5)
+        # gradients match too
+        w = jnp.asarray(np.random.RandomState(1).randn(*x.shape), jnp.float32)
+        gref = jax.grad(lambda xx: jnp.sum(
+            bn.apply(variables, xx, mutable=["batch_stats"])[0] * w))(x)
+        gsub = jax.grad(lambda xx: jnp.sum(
+            sub.apply(variables, xx, mutable=["batch_stats"])[0] * w))(x)
+        np.testing.assert_allclose(np.asarray(gsub), np.asarray(gref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_partial_subset_uses_leading_rows(self):
+        rng = np.random.RandomState(2)
+        x = np.asarray(rng.randn(6, 5, 5, 16), np.float32)
+        variables = _flax_variables(16)
+        got, _ = self._mk(rows=2).apply(variables, jnp.asarray(x),
+                                        mutable=["batch_stats"])
+        # oracle: stats from rows [0:2), applied to every row
+        sub = x[:2].reshape(-1, 16)
+        mean = sub.mean(0)
+        var = (sub * sub).mean(0) - mean * mean
+        mul = 1.0 / np.sqrt(var + 1e-3) * np.asarray(
+            variables["params"]["scale"])
+        ref = (x - mean) * mul + np.asarray(variables["params"]["bias"])
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+    def test_eval_path_identical_to_flax(self):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(3, 7, 7, 16), jnp.float32)
+        variables = _flax_variables(16)
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.99,
+                          epsilon=1e-3, dtype=jnp.float32,
+                          param_dtype=jnp.float32)
+        ref = bn.apply(variables, x)
+        got = self._mk(rows=2, use_running_average=True).apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_convblock_checkpoint_compatible_and_rejects_bad(self):
+        import pytest as _pytest
+
+        from keras_object_detection_tpu.models.layers import (
+            ConvBlock, make_batch_norm)
+
+        x = jnp.ones((4, 8, 8, 3), jnp.float32)
+        v1 = ConvBlock(8, 3, padding=1, bn_mode="flax").init(
+            jax.random.PRNGKey(0), x, train=True)
+        v2 = ConvBlock(8, 3, padding=1, bn_mode="flax@2").init(
+            jax.random.PRNGKey(0), x, train=True)
+        assert jax.tree_util.tree_structure(v1) == \
+            jax.tree_util.tree_structure(v2)
+        with _pytest.raises(ValueError):
+            make_batch_norm("flax@0", use_running_average=False)
+        with _pytest.raises(ValueError):
+            make_batch_norm("mxu@2", use_running_average=False)
