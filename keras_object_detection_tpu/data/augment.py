@@ -55,43 +55,51 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _color_jitter(img: jnp.ndarray, key: jax.Array,
-                  strengths: Tuple[float, float, float, float]) -> jnp.ndarray:
+def _color_jitter_batch(imgs: jnp.ndarray, key: jax.Array,
+                        strengths: Tuple[float, float, float, float]
+                        ) -> jnp.ndarray:
     """Brightness/contrast/saturation/hue jitter with Albumentations-default
-    strengths (0.2 each). Like Albumentations' ColorJitter, the four ops are
-    applied in a per-sample RANDOM order (factors are sampled once up front);
-    a fixed order would bias e.g. brightness-then-contrast clipping."""
+    strengths (0.2 each) for a ``(B, H, W, 3)`` batch. Factors are sampled
+    PER IMAGE; the application order is random PER BATCH. (Albumentations
+    shuffles per call, i.e. per image — but a per-image order under ``vmap``
+    turns ``lax.switch`` into evaluate-all-branches-and-select, 16 transform
+    evaluations per image instead of 4. A shared order per step keeps each
+    image's marginal distribution identical — every image still sees a
+    uniformly random order across steps — at 1/4 the cost; the order is
+    merely correlated within a batch.)"""
     kb, kc, ks, kh, kperm = jax.random.split(key, 5)
     sb, sc, ss, sh = strengths
+    n = imgs.shape[0]
 
-    fb = jax.random.uniform(kb, (), minval=1.0 - sb, maxval=1.0 + sb)
-    fc = jax.random.uniform(kc, (), minval=1.0 - sc, maxval=1.0 + sc)
-    fs = jax.random.uniform(ks, (), minval=1.0 - ss, maxval=1.0 + ss)
-    fh = jax.random.uniform(kh, (), minval=-sh, maxval=sh)
+    fb = jax.random.uniform(kb, (n, 1, 1, 1), minval=1.0 - sb, maxval=1.0 + sb)
+    fc = jax.random.uniform(kc, (n, 1, 1, 1), minval=1.0 - sc, maxval=1.0 + sc)
+    fs = jax.random.uniform(ks, (n, 1, 1, 1), minval=1.0 - ss, maxval=1.0 + ss)
+    fh = jax.random.uniform(kh, (n, 1, 1), minval=-sh, maxval=sh)
 
-    def brightness(img):
-        return jnp.clip(img * fb, 0.0, 1.0)
+    def _luma(im):
+        return 0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
 
-    def contrast(img):
-        gray_mean = jnp.mean(
-            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
-        return jnp.clip((img - gray_mean) * fc + gray_mean, 0.0, 1.0)
+    def brightness(im):
+        return jnp.clip(im * fb, 0.0, 1.0)
 
-    def saturation(img):
-        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-                + 0.114 * img[..., 2])[..., None]
-        return jnp.clip(gray + (img - gray) * fs, 0.0, 1.0)
+    def contrast(im):
+        gray_mean = jnp.mean(_luma(im), axis=(1, 2), keepdims=True)[..., None]
+        return jnp.clip((im - gray_mean) * fc + gray_mean, 0.0, 1.0)
 
-    def hue(img):
-        hsv = _rgb_to_hsv(img)
+    def saturation(im):
+        gray = _luma(im)[..., None]
+        return jnp.clip(gray + (im - gray) * fs, 0.0, 1.0)
+
+    def hue(im):
+        hsv = _rgb_to_hsv(im)
         hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
         return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
 
     perm = jax.random.permutation(kperm, 4)
     for i in range(4):
-        img = jax.lax.switch(perm[i], (brightness, contrast, saturation, hue),
-                             img)
-    return img
+        imgs = jax.lax.switch(perm[i],
+                              (brightness, contrast, saturation, hue), imgs)
+    return imgs
 
 
 def sample_crop_window(
@@ -194,26 +202,27 @@ def _random_resized_crop(
     return img, new_boxes, keep
 
 
-def _augment_one(
-    img_u8: jnp.ndarray,
+def _flip_crop_one(
+    img: jnp.ndarray,
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     key: jax.Array,
     hflip_prob: float,
-    color_strengths: Tuple[float, float, float, float],
     crop_scale: Tuple[float, float],
     crop_ratio: Tuple[float, float],
     min_visibility: float,
 ):
-    kf, kc, kcrop = jax.random.split(key, 3)
-    img = img_u8.astype(jnp.float32) / 255.0  # Normalize(0,1), ref dataset.py:140
+    """Per-image spatial augmentation (the color jitter runs batch-level in
+    ``augment_batch`` — it is pixelwise/permutation-invariant, so it commutes
+    exactly with the horizontal flip and the reference's flip->jitter->crop
+    order is preserved)."""
+    kf, kcrop = jax.random.split(key, 2)
 
     flip = jax.random.uniform(kf, ()) < hflip_prob
     img = jnp.where(flip, img[:, ::-1, :], img)
     boxes = jnp.where(
         flip, boxes.at[:, 0].set(1.0 - boxes[:, 0]), boxes)
 
-    img = _color_jitter(img, kc, color_strengths)
     img, boxes, valid = _random_resized_crop(
         img, boxes, valid, kcrop, crop_scale, crop_ratio, min_visibility)
     return img, boxes, valid
@@ -239,12 +248,15 @@ def augment_batch(
 ):
     """Train-time augmentation for a batch: ``(B, H, W, 3) u8`` + padded boxes
     -> normalized float images + remapped boxes + updated validity."""
-    keys = jax.random.split(key, images_u8.shape[0])
+    kjit, kspatial = jax.random.split(key)
+    imgs = images_u8.astype(jnp.float32) / 255.0  # Normalize, ref dataset.py:140
+    if any(s > 0 for s in color_strengths):
+        imgs = _color_jitter_batch(imgs, kjit, color_strengths)
+    keys = jax.random.split(kspatial, images_u8.shape[0])
     return jax.vmap(
-        lambda i, b, v, k: _augment_one(
-            i, b, v, k, hflip_prob, color_strengths, crop_scale, crop_ratio,
-            min_visibility)
-    )(images_u8, boxes, valid, keys)
+        lambda i, b, v, k: _flip_crop_one(
+            i, b, v, k, hflip_prob, crop_scale, crop_ratio, min_visibility)
+    )(imgs, boxes, valid, keys)
 
 
 @jax.jit

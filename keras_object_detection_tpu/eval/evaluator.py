@@ -25,7 +25,8 @@ from keras_object_detection_tpu.ops.map import MeanAveragePrecision
 from keras_object_detection_tpu.ops.pallas_nms import (
     auto_batched_non_max_suppression as batched_non_max_suppression,
 )
-from keras_object_detection_tpu.train.loop import TrainState, make_eval_step
+from keras_object_detection_tpu.train.loop import (TrainState, make_eval_step,
+                                                   run_dataset_eval)
 
 
 class InferenceModel:
@@ -142,32 +143,15 @@ class Evaluator:
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True) -> Dict[str, float]:
-        mask = self.config.eval.mask_padded_images
-        total, batches = None, 0
-        self.map_metric.reset_states()
         t0 = time.perf_counter()
-        for i, (images, boxes, valid) in enumerate(ds.prefetched()):
-            weight = None
-            if mask:
-                n_real = min(ds.batch_size,
-                             ds.num_examples - i * ds.batch_size)
-                weight = jnp.arange(ds.batch_size) < n_real
-            loss, y_true, y_pred = self._eval_step(
-                state, images, boxes, valid, weight)
-            # device-side accumulation; one readback at the end
-            total = loss if total is None else total + loss
-            batches += 1
-            if with_map:
-                self.map_metric.update_state(y_true, y_pred,
-                                             image_valid=weight)
-        if mask:
-            loss_out = (float(total) * ds.batch_size / max(ds.num_examples, 1)
-                        if batches else 0.0)
-        else:
-            loss_out = float(total) / max(batches, 1) if batches else 0.0
-        out = {"loss": loss_out}
+        # shared masked-eval pass (single source of the padded-image
+        # semantics; see train.loop.run_dataset_eval)
+        loss, map_val = run_dataset_eval(
+            self.config, self._eval_step, self.map_metric, state, ds,
+            with_map=with_map)
+        out = {"loss": loss}
         if with_map:
-            out["mAP"] = self.map_metric.result()
+            out["mAP"] = map_val
         out["eval_time_s"] = time.perf_counter() - t0
         out["images_per_s"] = ds.num_examples / max(out["eval_time_s"], 1e-9)
         return out

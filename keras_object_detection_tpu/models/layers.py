@@ -42,8 +42,13 @@ class FusedBatchNorm(nn.Module):
     implementations are checkpoint-compatible — construct with an explicit
     ``name`` to keep the auto-naming identical when swapping.
 
-    The eval path (running averages) has no reductions and stays in pure jnp,
-    bit-identical to flax's ``_normalize`` order of operations.
+    The eval path (running averages) has no reductions and stays in pure jnp.
+    Note it computes in float32 and casts the result once at the end; with a
+    bfloat16 module dtype, stock ``nn.BatchNorm`` instead promotes operands
+    to bf16 and computes in bf16, so eval outputs can differ from flax in the
+    last bf16 ulp per layer (strictly more accurate here, but NOT
+    bit-identical — swap-in parity is tolerance-level, as asserted in the
+    tests).
     """
 
     use_running_average: bool = False

@@ -121,6 +121,11 @@ class YoloV1(nn.Module):
     flat_output: bool = False
     remat: bool = False
     bn_mode: str = "flax"  # "fused" = Pallas BN-stats kernels | "flax"
+    # Keras trainable=False semantics (ref yolo_v1.py:819-820): a frozen
+    # backbone runs in INFERENCE mode — BatchNorm normalizes with its moving
+    # statistics and never updates them (matching Keras BN's trainable=False
+    # behavior since TF 2.0); gradients are stopped in the train step.
+    freeze_backbone: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -131,7 +136,8 @@ class YoloV1(nn.Module):
         # flax-module-level nn.remat would rename parameter scopes and break
         # checkpoint compatibility between remat on/off.
         x = BACKBONES[self.backbone](self.compute_dtype, self.activation,
-                                     bn_mode=self.bn_mode)(x, train=train)
+                                     bn_mode=self.bn_mode)(
+            x, train=train and not self.freeze_backbone)
         if self.head == "conv":
             out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype,
                            bn_mode=self.bn_mode)(x, train=train)
@@ -172,4 +178,5 @@ def build_model(config: Config) -> YoloV1:
         activation=getattr(m, "activation", "relu"),
         remat=getattr(m, "remat", False),
         bn_mode=getattr(m, "bn_mode", "flax"),
+        freeze_backbone=getattr(m, "freeze_backbone", False),
     )

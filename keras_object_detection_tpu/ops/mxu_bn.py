@@ -43,10 +43,21 @@ from jax import lax
 _ROW_CONTRACT = (((0,), (0,)), ((), ()))
 
 
+def _precision_for(dtype) -> lax.Precision:
+    # bf16 x bf16 products are exact in f32, so default MXU precision is
+    # already lossless there. float32 operands would be TRUNCATED to bf16 by
+    # the default TPU matmul precision — these dots carry activation data, so
+    # force HIGHEST (CLAUDE.md kernel rule) at f32; costs the multi-pass
+    # emulation only in the f32 configuration.
+    return (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
+
 def _row_sum(x2d: jnp.ndarray) -> jnp.ndarray:
     """Per-channel sum via ``ones(M) @ X`` on the MXU -> (C,) float32."""
     ones = jnp.ones((x2d.shape[0],), x2d.dtype)
     return lax.dot_general(ones, x2d, (((0,), (0,)), ((), ())),
+                           precision=_precision_for(x2d.dtype),
                            preferred_element_type=jnp.float32)
 
 
@@ -58,6 +69,7 @@ def _row_dot(a2d: jnp.ndarray, b2d: jnp.ndarray) -> jnp.ndarray:
     (C, C) f32 output is tiny next to the activations.
     """
     gram = lax.dot_general(a2d, b2d, _ROW_CONTRACT,
+                           precision=_precision_for(a2d.dtype),
                            preferred_element_type=jnp.float32)
     return jnp.diagonal(gram)
 

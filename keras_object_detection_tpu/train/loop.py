@@ -147,6 +147,10 @@ def make_train_step(config: Config):
             if freeze_key is not None:
                 # stop_gradient freezes the backbone (ref yolo_v1.py:819
                 # backbone.trainable=False) AND lets XLA prune its backward.
+                # The model itself runs the frozen backbone in inference mode
+                # (models/yolo.py freeze_backbone), so its BatchNorm moving
+                # statistics are used for normalization and never updated —
+                # the full Keras trainable=False semantics.
                 params = dict(params)
                 params[freeze_key] = jax.tree_util.tree_map(
                     jax.lax.stop_gradient, params[freeze_key])
@@ -218,6 +222,45 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
     return eval_step
 
 
+def run_dataset_eval(config: Config, eval_step, map_metric, state: TrainState,
+                     ds: YoloDataset, with_map: bool = True, sharding=None):
+    """One masked/unmasked eval pass over ``ds``: device-side loss
+    accumulation (one readback after the loop) + optional mAP.
+
+    The single source of the padded-image masking semantics, shared by
+    ``Trainer._run_validation`` and ``eval.Evaluator``: with
+    ``eval.mask_padded_images``, padded trailing images of the final partial
+    batch carry zero loss weight and are dropped from the mAP accumulator,
+    and the loss is scaled ``batch_size / num_examples`` — identical to the
+    unmasked mean-of-batch-sums whenever the batch size divides the set, and
+    the exact unpadded value when it doesn't (the reference instead SHRINKS
+    the final batch, ref dataset.py:38-47).
+
+    Returns ``(loss, mAP-or-None)``.
+    """
+    mask = config.eval.mask_padded_images
+    total, batches = None, 0
+    if with_map:
+        map_metric.reset_states()
+    for i, (images, boxes, valid) in enumerate(ds.prefetched(sharding)):
+        weight = None
+        if mask:
+            n_real = min(ds.batch_size, ds.num_examples - i * ds.batch_size)
+            weight = jnp.arange(ds.batch_size) < n_real
+        loss, y_true, y_pred = eval_step(state, images, boxes, valid, weight)
+        total = loss if total is None else total + loss
+        batches += 1
+        if with_map:
+            map_metric.update_state(y_true, y_pred, image_valid=weight)
+    if not batches:
+        return 0.0, (map_metric.result() if with_map else None)
+    if mask:
+        loss_out = float(total) * ds.batch_size / max(ds.num_examples, 1)
+    else:
+        loss_out = float(total) / batches
+    return loss_out, (map_metric.result() if with_map else None)
+
+
 class Trainer:
     """End-to-end training driver (the ``model.fit`` analogue)."""
 
@@ -271,36 +314,12 @@ class Trainer:
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,
                         with_map: bool) -> Dict[str, float]:
-        mask = self.config.eval.mask_padded_images
-        total, batches = None, 0
+        loss, map_val = run_dataset_eval(
+            self.config, self._eval_step, self.map_metric, state, ds,
+            with_map=with_map, sharding=self._batch_sharding)
+        out = {"val_loss": loss}
         if with_map:
-            self.map_metric.reset_states()
-        for i, (images, boxes, valid) in enumerate(
-                ds.prefetched(self._batch_sharding)):
-            weight = None
-            if mask:
-                n_real = min(ds.batch_size,
-                             ds.num_examples - i * ds.batch_size)
-                weight = jnp.arange(ds.batch_size) < n_real
-            loss, y_true, y_pred = self._eval_step(
-                state, images, boxes, valid, weight)
-            # device-side accumulation; one readback after the loop
-            total = loss if total is None else total + loss
-            batches += 1
-            if with_map:
-                self.map_metric.update_state(y_true, y_pred,
-                                             image_valid=weight)
-        if mask:
-            # batch_size * per-image mean: identical to the unmasked
-            # mean-of-batch-sums whenever the batch size divides the set,
-            # and the exact unpadded value when it doesn't.
-            val_loss = (float(total) * ds.batch_size / max(ds.num_examples, 1)
-                        if batches else 0.0)
-        else:
-            val_loss = float(total) / max(batches, 1) if batches else 0.0
-        out = {"val_loss": val_loss}
-        if with_map:
-            out["val_mAP"] = self.map_metric.result()
+            out["val_mAP"] = map_val
         return out
 
     def _should_eval_map(self, epoch: int, improved: bool) -> bool:

@@ -152,14 +152,22 @@ def test_freeze_backbone_keeps_backbone_params_fixed():
     valid[:, 0] = True
 
     before = jax.device_get(state.params)
+    before_stats = jax.device_get(state.batch_stats)
     for i in range(2):
         state, metrics = step(state, images, boxes, valid, jax.random.PRNGKey(i))
     after = jax.device_get(state.params)
+    after_stats = jax.device_get(state.batch_stats)
 
     key = BACKBONE_PARAM_KEYS["darknet_micro"]
     frozen_same = jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: bool(np.array_equal(a, b)), before[key], after[key]))
     assert frozen_same, "backbone params changed despite freeze_backbone"
+    # Keras trainable=False: frozen BN runs in inference mode — its moving
+    # statistics must not update either (ref yolo_v1.py:819-820 semantics)
+    stats_same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(a, b)),
+        before_stats[key], after_stats[key]))
+    assert stats_same, "backbone batch_stats changed despite freeze_backbone"
     head_moved = any(
         not np.array_equal(a, b)
         for a, b in zip(jax.tree_util.tree_leaves(before["ConvHead_0"]),

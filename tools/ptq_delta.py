@@ -60,18 +60,26 @@ def main():
     state = mgr.restore(template)
     print(f"restored best checkpoint (epoch {mgr.best_step})")
 
+    # Quantize what would actually be served: with EMA eval enabled, that is
+    # ema_params — fold them into params and disable the evaluator's own EMA
+    # swap, so float and int8 paths compare the SAME weights.
+    if (cfg.train.ema_decay is not None and cfg.train.eval_with_ema
+            and getattr(state, "ema_params", None) is not None):
+        print("serving params: EMA")
+        state = state.replace(params=state.ema_params)
+
     ds = YoloDataset(args.data, cfg.model.image_size, cfg.data.batch_size,
                      max_boxes=cfg.data.max_boxes_per_image)
 
     # --- float baseline ------------------------------------------------------
-    float_eval = Evaluator(cfg).evaluate(state, ds)
+    float_eval = Evaluator(cfg, use_ema=False).evaluate(state, ds)
     print(f"float:     mAP {float_eval['mAP']:.4f}")
 
     # --- JAX int8 weight quantization ---------------------------------------
     qparams = quantize_params(state.params)
     qbytes, fbytes = quantized_size_bytes(qparams)
     deq_state = state.replace(params=jax.device_get(dequantize_params(qparams)))
-    int8_eval = Evaluator(cfg).evaluate(deq_state, ds)
+    int8_eval = Evaluator(cfg, use_ema=False).evaluate(deq_state, ds)
     print(f"jax int8:  mAP {int8_eval['mAP']:.4f} "
           f"(weights {qbytes/1e6:.1f} MB vs {fbytes/1e6:.1f} MB f32)")
 
@@ -122,8 +130,11 @@ def main():
             conf_threshold=cfg.eval.conf_threshold,
             map_iou_threshold=cfg.eval.map_iou_threshold)
         n_done = 0
-        for images, boxes, valid in ds.epoch():
-            real = int(valid.any(axis=-1).sum()) if valid.any() else len(images)
+        for bi, (images, boxes, valid) in enumerate(ds.epoch()):
+            # trim zero-padded trailing images of the final partial batch so
+            # the int8 metric sees exactly the images the float baseline saw
+            real = min(len(images), ds.num_examples - bi * ds.batch_size)
+            images, boxes, valid = images[:real], boxes[:real], valid[:real]
             y_true = jax.vmap(
                 lambda b, v: encode_grid(b, v, cfg.grid.num_classes,
                                          cfg.grid.num_boxes, cfg.grid.grid)

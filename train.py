@@ -152,8 +152,11 @@ def main():
                                 start_epoch=start_epoch)
         remaining = cfg.train.epochs - 1
         if remaining > 0:
+            # continue the epoch axis explicitly — re-inferring it from the
+            # optimizer step count breaks when batch/dataset size changed
             state = trainer.fit(train_ds, val_ds, epochs=remaining, state=state,
-                                early_stop_patience=args.early_stop_patience)
+                                early_stop_patience=args.early_stop_patience,
+                                start_epoch=(start_epoch or 0) + 1)
     else:
         state = trainer.fit(train_ds, val_ds, state=state,
                             early_stop_patience=args.early_stop_patience,
