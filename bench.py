@@ -116,6 +116,24 @@ def main():
     map_val = metric.result()
     map_ms = (time.perf_counter() - t0) * 1000
 
+    # --- optional: int8-weight serving latency (KOT_BENCH_INT8=1) -----------
+    int8_extras = {}
+    if os.environ.get("KOT_BENCH_INT8") == "1":
+        from keras_object_detection_tpu.export.quantize import (
+            QuantizedInferenceModel)
+
+        qim = QuantizedInferenceModel(cfg, state.params, state.batch_stats)
+        qim.predict(np.asarray(images[:1]))  # compile
+        qtimes = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            b, v = qim.predict(np.asarray(images[:1]))
+            float(np.asarray(b).ravel()[0])
+            qtimes.append((time.perf_counter() - t0) * 1000)
+        qtimes.sort()
+        int8_extras["int8_serve_p50_ms_batch1"] = round(
+            qtimes[len(qtimes) // 2], 3)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     baseline = json.load(open(baseline_path))
 
@@ -139,6 +157,7 @@ def main():
             "map_metric_vs_baseline": round(
                 baseline["map_metric_ms_8imgs_c20"] / max(map_ms, 1e-6), 1),
             "baseline": baseline["description"][:80],
+            **int8_extras,
         },
     }
     print(json.dumps(result))
