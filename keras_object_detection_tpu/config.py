@@ -100,6 +100,12 @@ class DataConfig:
     # decoded once into a uint8 memmap (data/disk_cache.py), epochs read raw
     # bytes. "" disables. A per-split subdir is derived automatically.
     cache_dir: str = ""
+    # Keep the ENTIRE dataset resident in device HBM and gather batches
+    # on-device by index (data/pipeline.py DeviceCachedDataset): one upload,
+    # then only a (batch,) index vector per step. For datasets that fit in
+    # HBM; requires a single-device mesh. Removes the per-step host->device
+    # image transfer (the relay bottleneck/leak — see the class docstring).
+    device_cache: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -162,3 +162,62 @@ class YoloDataset:
             except StopIteration:
                 pass
             yield queue.popleft()
+
+
+class DeviceCachedDataset:
+    """The ENTIRE dataset resident in device HBM; batches are gathered
+    on-device by index array.
+
+    TPU-native input path for datasets that fit in accelerator memory
+    (448x448 uint8 is ~600 KB/image -> ~13 GB for VOC-size sets, ~1 GB for
+    thousands of images): images/boxes/validity are transferred ONCE, and
+    each step ships only a (batch,) int32 index vector. Eliminates the
+    per-step host->device image transfer entirely — on relay-attached chips
+    that transfer is both the throughput bottleneck (~73 MB/s observed) and
+    a host-memory leak (the axon PJRT client retains every transfer buffer;
+    ~19 MB leaked per 448x448 batch-32 put, OOM after ~150 epochs).
+
+    Row ``num_examples`` is an all-zero sentinel used to pad the final
+    partial batch — identical semantics to the host loader's zero-padding.
+    """
+
+    def __init__(self, ds: YoloDataset):
+        n, size, m = ds.num_examples, ds.image_size, ds.max_boxes
+        imgs = np.zeros((n + 1, size, size, 3), np.uint8)
+        boxes = np.zeros((n + 1, m, 5), np.float32)
+        valid = np.zeros((n + 1, m), bool)
+        for i, p in enumerate(ds.paths):
+            im, bx, vl = ds._load_one(p)
+            imgs[i], boxes[i], valid[i] = im, bx, vl
+        gb = imgs.nbytes / 1e9
+        if gb > 12.0:
+            raise ValueError(
+                f"device_cache: dataset is {gb:.1f} GB of uint8 images — "
+                "too large for HBM; use cache_dir (disk) instead")
+        self.images = jax.device_put(imgs)
+        self.boxes = jax.device_put(boxes)
+        self.valid = jax.device_put(valid)
+        self.pad_row = n
+        self.batch_size = ds.batch_size
+        self.num_examples = n
+        self.drop_remainder = ds.drop_remainder
+        self._shuffle = ds.shuffle
+        self._rng = ds._rng  # share the host loader's shuffle stream
+
+    def __len__(self) -> int:
+        n, b = self.num_examples, self.batch_size
+        if self.drop_remainder:
+            return n // b
+        return n // b + (1 if n % b else 0)
+
+    def epoch_indices(self) -> Iterator[np.ndarray]:
+        """Per-batch index arrays (padded to batch_size with the zero row)."""
+        order = np.arange(self.num_examples)
+        if self._shuffle:
+            self._rng.shuffle(order)
+        for i in range(len(self)):
+            sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+            if len(sel) < self.batch_size:
+                sel = np.concatenate([
+                    sel, np.full(self.batch_size - len(sel), self.pad_row)])
+            yield sel.astype(np.int32)

@@ -283,6 +283,12 @@ class Trainer:
         self._train_step_fn = make_train_step(config)
         self._train_step_jit = None
         self._eval_step = jax.jit(make_eval_step(config))
+        # device_cache variants: same step fns behind an on-device gather
+        self._train_step_cached = None
+        eval_fn = make_eval_step(config)
+        self._eval_step_cached = jax.jit(
+            lambda state, imgs, bxs, vld, idx, weight: eval_fn(
+                state, imgs[idx], bxs[idx], vld[idx], weight))
         self.logger = MetricLogger(config.train.log_dir,
                                    use_tensorboard=use_tensorboard)
         self.ckpt = CheckpointManager(config.train.checkpoint_dir)
@@ -322,6 +328,36 @@ class Trainer:
             out["val_mAP"] = map_val
         return out
 
+    def _run_validation_cached(self, state: TrainState, dev,
+                               with_map: bool) -> Dict[str, float]:
+        """Validation over a DeviceCachedDataset: same masked semantics as
+        run_dataset_eval, with batches gathered on device by index (padded
+        rows are the zero sentinel => weight = idx < num_examples)."""
+        mask = self.config.eval.mask_padded_images
+        total, batches = None, 0
+        if with_map:
+            self.map_metric.reset_states()
+        for idx in dev.epoch_indices():
+            weight = jnp.asarray(idx < dev.num_examples) if mask else None
+            loss, y_true, y_pred = self._eval_step_cached(
+                state, dev.images, dev.boxes, dev.valid, jnp.asarray(idx),
+                weight)
+            total = loss if total is None else total + loss
+            batches += 1
+            if with_map:
+                self.map_metric.update_state(y_true, y_pred,
+                                             image_valid=weight)
+        if not batches:
+            val_loss = 0.0
+        elif mask:
+            val_loss = float(total) * dev.batch_size / max(dev.num_examples, 1)
+        else:
+            val_loss = float(total) / batches
+        out = {"val_loss": val_loss}
+        if with_map:
+            out["val_mAP"] = self.map_metric.result()
+        return out
+
     def _should_eval_map(self, epoch: int, improved: bool) -> bool:
         """The reference's mAP evaluation policy (ref train.py:189-200):
         after epoch 100 (1-based), when monitored loss improves or every 10."""
@@ -355,6 +391,21 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.train.epochs
         if state is None:
             state = self.init_state()
+        dev_train = dev_val = None
+        if getattr(cfg.data, "device_cache", False):
+            import math
+
+            from keras_object_detection_tpu.data.pipeline import (
+                DeviceCachedDataset)
+
+            if math.prod(self.mesh.shape.values()) != 1:
+                raise ValueError(
+                    "device_cache requires a single-device mesh (the HBM-"
+                    "resident arrays are not sharded); use the host loader "
+                    "for multi-chip data parallelism")
+            dev_train = DeviceCachedDataset(train_ds)
+            if val_ds is not None:
+                dev_val = DeviceCachedDataset(val_ds)
         # Resume-aware epoch numbering: continue the LR schedule and the
         # checkpoint step counter from where the restored state left off
         # instead of restarting at epoch 0.
@@ -379,11 +430,28 @@ class Trainer:
             # step (~30 ms each through this environment's dispatch relay).
             acc: Dict[str, Any] = {}
             nb = 0
-            for images, boxes, valid in train_ds.prefetched(self._batch_sharding):
-                state, metrics = self._train_step(state, images, boxes, valid, rng)
-                nb += 1
-                for k, v in metrics.items():
-                    acc[k] = v if k not in acc else acc[k] + v
+            if dev_train is not None:
+                if self._train_step_cached is None:
+                    fn = self._train_step_fn
+                    self._train_step_cached = jax.jit(
+                        lambda state, imgs, bxs, vld, idx, rng: fn(
+                            state, imgs[idx], bxs[idx], vld[idx], rng),
+                        donate_argnums=(0,))
+                for idx in dev_train.epoch_indices():
+                    state, metrics = self._train_step_cached(
+                        state, dev_train.images, dev_train.boxes,
+                        dev_train.valid, jnp.asarray(idx), rng)
+                    nb += 1
+                    for k, v in metrics.items():
+                        acc[k] = v if k not in acc else acc[k] + v
+            else:
+                for images, boxes, valid in train_ds.prefetched(
+                        self._batch_sharding):
+                    state, metrics = self._train_step(
+                        state, images, boxes, valid, rng)
+                    nb += 1
+                    for k, v in metrics.items():
+                        acc[k] = v if k not in acc else acc[k] + v
             train_metrics = {k: float(v) / max(nb, 1) for k, v in acc.items()}
             train_metrics["lr"] = lr
             train_metrics["epoch_time_s"] = time.time() - t0
@@ -392,10 +460,15 @@ class Trainer:
 
             logs = dict(train_metrics)
             if val_ds is not None:
-                val = self._run_validation(state, val_ds, with_map=False)
+                val = (self._run_validation_cached(state, dev_val, with_map=False)
+                       if dev_val is not None else
+                       self._run_validation(state, val_ds, with_map=False))
                 improved = val["val_loss"] < best
                 if self._should_eval_map(epoch, improved):
-                    val.update(self._run_validation(state, val_ds, with_map=True))
+                    val.update(
+                        self._run_validation_cached(state, dev_val, with_map=True)
+                        if dev_val is not None else
+                        self._run_validation(state, val_ds, with_map=True))
                 logs.update(val)
                 if improved:
                     best = val["val_loss"]

@@ -60,7 +60,7 @@ def test_train_generalizes_on_synthetic_shapes(tmp_path):
         data=DataConfig(batch_size=8, max_boxes_per_image=8,
                         crop_scale=(0.9, 1.0)),
         train=TrainConfig(
-            epochs=120, optimizer="adam", noobj_mode="all",
+            epochs=170, optimizer="adam", noobj_mode="all",
             schedule=ScheduleConfig(kind="constant", base_lr=2e-3),
             checkpoint_dir=str(tmp_path / "ckpt"),
             log_dir=str(tmp_path / "logs"), seed=0),
@@ -77,7 +77,10 @@ def test_train_generalizes_on_synthetic_shapes(tmp_path):
     trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
                                             devices=jax.devices()[:1]),
                       use_tensorboard=False)
-    state = trainer.fit(train_ds, val_ds, verbose=False)
+    # late-training annealing makes the outcome robust to RNG-stream changes
+    # (at constant 2e-3 the 24-image run is borderline-seed-sensitive)
+    state = trainer.fit(train_ds, val_ds, verbose=False,
+                        reduce_on_plateau=(0.5, 25, 2e-4))
     results = trainer.evaluate(state, val_ds)
     trainer.ckpt.close()
     assert np.isfinite(results["val_loss"])

@@ -328,3 +328,53 @@ def test_eval_uses_ema_params(tmp_path, data_dir):
     # and the live params give a different (trained) loss
     l_live, _, _ = estep_live(state, images, boxes, valid)
     assert abs(float(l_live) - float(l_ema)) > 1e-3
+
+
+def test_device_cache_matches_host_loader(tmp_path, data_dir):
+    """device_cache=True (HBM-resident dataset, on-device gather by index)
+    must reproduce the host loader bit-for-bit: shared shuffle stream, same
+    zero-padding of the final partial batch, same augmentation keys."""
+    import dataclasses
+
+    def run(device_cache, sub):
+        cfg = _tiny_config(str(tmp_path / sub), image_size=56, batch_size=3)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                      image_size=56),
+            data=dataclasses.replace(cfg.data, batch_size=3,
+                                     device_cache=device_cache),
+        )
+        # 4 images, batch 3 -> a padded final batch in every epoch
+        ds = YoloDataset(data_dir, 56, 3, max_boxes=8, shuffle=True, seed=0)
+        val = YoloDataset(data_dir, 56, 3, max_boxes=8)
+        trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                                devices=jax.devices()[:1]),
+                          use_tensorboard=False)
+        state = trainer.fit(ds, val, epochs=2, verbose=False)
+        out = trainer._run_validation(state, val, with_map=False)
+        trainer.ckpt.close()
+        return out["val_loss"], state
+
+    host_loss, host_state = run(False, "host")
+    dev_loss, dev_state = run(True, "dev")
+    np.testing.assert_allclose(dev_loss, host_loss, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(host_state.params)[0]
+    b = jax.tree_util.tree_leaves(dev_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_device_cache_rejects_multi_device_mesh(tmp_path, data_dir):
+    import dataclasses
+
+    cfg = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_cache=True))
+    ds = YoloDataset(data_dir, 224, 2, max_boxes=8)
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=2,
+                                            devices=jax.devices()[:2]),
+                      use_tensorboard=False)
+    with pytest.raises(ValueError, match="single-device"):
+        trainer.fit(ds, None, epochs=1, verbose=False)
+    trainer.ckpt.close()

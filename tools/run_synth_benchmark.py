@@ -43,6 +43,9 @@ def main():
                    help="reduce-on-plateau 'factor,patience,min_lr' ('' = off)")
     p.add_argument("--ema", type=float, default=None,
                    help="EMA decay for eval params (e.g. 0.999; default off)")
+    p.add_argument("--device-cache", action="store_true",
+                   help="keep the whole dataset in device HBM; gather "
+                        "batches on-device (removes relay transfer cost)")
     p.add_argument("--map-start", type=int, default=0,
                    help="epoch after which periodic mAP eval starts "
                         "(0 = only once at the end)")
@@ -75,7 +78,7 @@ def main():
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
             batch_size=args.batch_size, max_boxes_per_image=8,
-            cache_in_memory=True),
+            cache_in_memory=True, device_cache=args.device_cache),
         train=TrainConfig(
             epochs=args.epochs, optimizer="adam",
             schedule=ScheduleConfig(kind="constant", base_lr=args.lr),

@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--cache-dir",
                    help="decode-ahead disk cache dir (raw uint8 memmap; for "
                         "datasets too big for --cache-in-memory)")
+    p.add_argument("--device-cache", action="store_true",
+                   help="keep the whole dataset resident in device HBM and "
+                        "gather batches on-device (single-device mesh only)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
@@ -89,7 +92,8 @@ def build_config(args):
         data=over(cfg.data, train_dir=train_dir, val_dir=val_dir,
                   test_dir=test_dir, batch_size=args.batch_size,
                   cache_in_memory=args.cache_in_memory or None,
-                  cache_dir=args.cache_dir),
+                  cache_dir=args.cache_dir,
+                  device_cache=args.device_cache or None),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed),
