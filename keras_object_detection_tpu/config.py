@@ -134,6 +134,13 @@ class TrainConfig:
     log_dir: str = "logs"
     map_eval_start_epoch: int = 100  # ref train.py:192 gate
     map_eval_every: int = 10
+    # Minimum epochs between best-checkpoint saves (0 = save on every
+    # improvement, the reference's ModelCheckpoint semantics). Each save
+    # device_gets the full train state (~730 MB for the flagship — ~10 s
+    # through the relay), so early training where val_loss improves every
+    # epoch can become save-bound; a cooldown bounds that overhead. The
+    # final epoch is always saved.
+    save_cooldown_epochs: int = 0
     seed: int = 0
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5

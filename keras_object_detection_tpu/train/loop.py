@@ -419,6 +419,7 @@ class Trainer:
         best = float("inf")
         since_best = 0
         lr_scale = 1.0
+        last_save = -(10 ** 9)  # first improvement always saves
         for epoch in range(epoch_offset, epoch_offset + epochs):
             lr = float(lrs[epoch]) * lr_scale
             if reduce_on_plateau is not None:
@@ -483,11 +484,16 @@ class Trainer:
                             print(f"plateau: scaling LR by "
                                   f"{reduce_on_plateau[0]} -> scale {lr_scale:.4g}")
                 # save_best_only semantics (ref train.py:154): serialize only
-                # on improvement (device_get of the full state costs ~2s for
-                # the flagship), plus the final epoch for clean resume.
-                if improved or epoch == epoch_offset + epochs - 1:
+                # on improvement (device_get of the full state costs ~10s for
+                # the flagship through the relay), plus the final epoch for
+                # clean resume. save_cooldown_epochs throttles the early
+                # phase where every epoch improves.
+                cooldown = getattr(cfg.train, "save_cooldown_epochs", 0)
+                if (improved and epoch - last_save >= cooldown) or (
+                        epoch == epoch_offset + epochs - 1):
                     self.ckpt.save(epoch, jax.device_get(state),
                                    {"val_loss": val["val_loss"]})
+                    last_save = epoch
             else:
                 if epoch == epoch_offset + epochs - 1:
                     self.ckpt.save(epoch, jax.device_get(state),

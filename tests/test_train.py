@@ -378,3 +378,28 @@ def test_device_cache_rejects_multi_device_mesh(tmp_path, data_dir):
     with pytest.raises(ValueError, match="single-device"):
         trainer.fit(ds, None, epochs=1, verbose=False)
     trainer.ckpt.close()
+
+
+def test_save_cooldown_throttles_checkpoints(tmp_path, data_dir):
+    """save_cooldown_epochs: with a cooldown larger than the run, only the
+    first improvement and the final epoch are serialized."""
+    import dataclasses
+
+    cfg = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                  image_size=56),
+        train=dataclasses.replace(cfg.train, save_cooldown_epochs=100),
+    )
+    ds = YoloDataset(data_dir, 56, 2, max_boxes=8, shuffle=True)
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                            devices=jax.devices()[:1]),
+                      use_tensorboard=False)
+    trainer.fit(ds, ds, epochs=4, verbose=False)
+    trainer.ckpt.wait()
+    steps = sorted(int(p.name) for p in
+                   (tmp_path / "ckpt").iterdir() if p.name.isdigit())
+    # epoch 0 (first improvement) and epoch 3 (final) only
+    assert steps == [0, 3], steps
+    trainer.ckpt.close()

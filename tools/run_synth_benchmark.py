@@ -46,6 +46,9 @@ def main():
     p.add_argument("--device-cache", action="store_true",
                    help="keep the whole dataset in device HBM; gather "
                         "batches on-device (removes relay transfer cost)")
+    p.add_argument("--save-cooldown", type=int, default=0,
+                   help="min epochs between best-checkpoint saves (bounds "
+                        "the ~10s/save device_get on big models)")
     p.add_argument("--map-start", type=int, default=0,
                    help="epoch after which periodic mAP eval starts "
                         "(0 = only once at the end)")
@@ -89,6 +92,7 @@ def main():
             map_eval_start_epoch=(args.map_start or args.epochs + 1),
             map_eval_every=args.map_every,
             ema_decay=args.ema,
+            save_cooldown_epochs=args.save_cooldown,
             seed=args.seed),
         # learned boxes surface earlier at a lower serving threshold; padded
         # partial batches are masked out of the metrics (80 % 16 == 0 here,
