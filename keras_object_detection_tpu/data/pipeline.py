@@ -181,7 +181,11 @@ class DeviceCachedDataset:
     partial batch — identical semantics to the host loader's zero-padding.
     """
 
-    def __init__(self, ds: YoloDataset):
+    def __init__(self, ds: YoloDataset, sharding=None):
+        """``sharding``: where the cached arrays live — pass a REPLICATED
+        ``NamedSharding`` on a multi-device mesh (each device holds a full
+        copy; the per-step gather is then constrained back to the batch
+        sharding in the train step). Default: the single default device."""
         n, size, m = ds.num_examples, ds.image_size, ds.max_boxes
         imgs = np.zeros((n + 1, size, size, 3), np.uint8)
         boxes = np.zeros((n + 1, m, 5), np.float32)
@@ -194,9 +198,11 @@ class DeviceCachedDataset:
             raise ValueError(
                 f"device_cache: dataset is {gb:.1f} GB of uint8 images — "
                 "too large for HBM; use cache_dir (disk) instead")
-        self.images = jax.device_put(imgs)
-        self.boxes = jax.device_put(boxes)
-        self.valid = jax.device_put(valid)
+        put = (lambda x: jax.device_put(x, sharding) if sharding is not None
+               else jax.device_put(x))
+        self.images = put(imgs)
+        self.boxes = put(boxes)
+        self.valid = put(valid)
         self.pad_row = n
         self.batch_size = ds.batch_size
         self.num_examples = n

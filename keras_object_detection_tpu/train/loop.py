@@ -283,12 +283,21 @@ class Trainer:
         self._train_step_fn = make_train_step(config)
         self._train_step_jit = None
         self._eval_step = jax.jit(make_eval_step(config))
-        # device_cache variants: same step fns behind an on-device gather
+        # device_cache variants: same step fns behind an on-device gather;
+        # the gathered batch is constrained to the data-axis sharding so the
+        # replicated-dataset gather feeds a normally-sharded step.
         self._train_step_cached = None
         eval_fn = make_eval_step(config)
-        self._eval_step_cached = jax.jit(
-            lambda state, imgs, bxs, vld, idx, weight: eval_fn(
-                state, imgs[idx], bxs[idx], vld[idx], weight))
+        bsh = self._batch_sharding
+
+        def _eval_cached(state, imgs, bxs, vld, idx, weight):
+            c = lambda x: jax.lax.with_sharding_constraint(x, bsh)
+            if weight is not None:
+                weight = c(weight)
+            return eval_fn(state, c(imgs[idx]), c(bxs[idx]), c(vld[idx]),
+                           weight)
+
+        self._eval_step_cached = jax.jit(_eval_cached)
         self.logger = MetricLogger(config.train.log_dir,
                                    use_tensorboard=use_tensorboard)
         self.ckpt = CheckpointManager(config.train.checkpoint_dir)
@@ -393,19 +402,18 @@ class Trainer:
             state = self.init_state()
         dev_train = dev_val = None
         if getattr(cfg.data, "device_cache", False):
-            import math
-
             from keras_object_detection_tpu.data.pipeline import (
                 DeviceCachedDataset)
 
-            if math.prod(self.mesh.shape.values()) != 1:
-                raise ValueError(
-                    "device_cache requires a single-device mesh (the HBM-"
-                    "resident arrays are not sharded); use the host loader "
-                    "for multi-chip data parallelism")
-            dev_train = DeviceCachedDataset(train_ds)
+            # Replicated across the mesh: every device holds the dataset;
+            # the cached step gathers the batch and constrains it back to
+            # the data-axis sharding (XLA keeps only the local shard's
+            # work after propagation).
+            dev_train = DeviceCachedDataset(train_ds,
+                                            sharding=self._replicated)
             if val_ds is not None:
-                dev_val = DeviceCachedDataset(val_ds)
+                dev_val = DeviceCachedDataset(val_ds,
+                                              sharding=self._replicated)
         # Resume-aware epoch numbering: continue the LR schedule and the
         # checkpoint step counter from where the restored state left off
         # instead of restarting at epoch 0.
@@ -434,10 +442,18 @@ class Trainer:
             if dev_train is not None:
                 if self._train_step_cached is None:
                     fn = self._train_step_fn
+                    bsh = self._batch_sharding
+                    out_sh = state_sharding(self.mesh, state,
+                                            self.config.mesh.model_axis)
+
+                    def _train_cached(state, imgs, bxs, vld, idx, rng):
+                        c = lambda x: jax.lax.with_sharding_constraint(x, bsh)
+                        return fn(state, c(imgs[idx]), c(bxs[idx]),
+                                  c(vld[idx]), rng)
+
                     self._train_step_cached = jax.jit(
-                        lambda state, imgs, bxs, vld, idx, rng: fn(
-                            state, imgs[idx], bxs[idx], vld[idx], rng),
-                        donate_argnums=(0,))
+                        _train_cached, donate_argnums=(0,),
+                        out_shardings=(out_sh, self._replicated))
                 for idx in dev_train.epoch_indices():
                     state, metrics = self._train_step_cached(
                         state, dev_train.images, dev_train.boxes,

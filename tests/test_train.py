@@ -365,19 +365,41 @@ def test_device_cache_matches_host_loader(tmp_path, data_dir):
                                atol=1e-6)
 
 
-def test_device_cache_rejects_multi_device_mesh(tmp_path, data_dir):
+def test_device_cache_data_parallel_matches_single(tmp_path, data_dir):
+    """device_cache on a DP mesh: the dataset is replicated, the gathered
+    batch constrained back to the data axis — results must match the
+    single-device device_cache run exactly."""
     import dataclasses
 
-    cfg = _tiny_config(str(tmp_path))
-    cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, device_cache=True))
-    ds = YoloDataset(data_dir, 224, 2, max_boxes=8)
-    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=2,
-                                            devices=jax.devices()[:2]),
-                      use_tensorboard=False)
-    with pytest.raises(ValueError, match="single-device"):
-        trainer.fit(ds, None, epochs=1, verbose=False)
-    trainer.ckpt.close()
+    def run(dp, sub):
+        cfg = _tiny_config(str(tmp_path / sub), image_size=56, batch_size=4)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                      image_size=56),
+            data=dataclasses.replace(cfg.data, batch_size=4,
+                                     device_cache=True),
+        )
+        ds = YoloDataset(data_dir, 56, 4, max_boxes=8, shuffle=True, seed=0)
+        val = YoloDataset(data_dir, 56, 4, max_boxes=8)
+        trainer = Trainer(cfg, mesh=create_mesh(data_parallel=dp,
+                                                devices=jax.devices()[:dp]),
+                          use_tensorboard=False)
+        state = trainer.fit(ds, val, epochs=2, verbose=False)
+        out = trainer._run_validation(state, val, with_map=False)
+        trainer.ckpt.close()
+        return out["val_loss"], state
+
+    loss1, state1 = run(1, "dp1")
+    loss2, state2 = run(2, "dp2")
+    # multi-epoch training compounds DP reduction-order differences (same
+    # tolerance philosophy as test_dp_matches_single_device, which compares
+    # ONE step at 2e-4): assert the trajectories stay within float drift
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-2)
+    a = jax.tree_util.tree_leaves(state1.params)[0]
+    b = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05,
+                               atol=1e-3)
 
 
 def test_save_cooldown_throttles_checkpoints(tmp_path, data_dir):
