@@ -49,6 +49,9 @@ def main():
     p.add_argument("--save-cooldown", type=int, default=0,
                    help="min epochs between best-checkpoint saves (bounds "
                         "the ~10s/save device_get on big models)")
+    p.add_argument("--pallas-loss", action="store_true",
+                   help="train with the fused Pallas loss kernel "
+                        "(use_pallas_loss=True) — soak-test path")
     p.add_argument("--map-start", type=int, default=0,
                    help="epoch after which periodic mAP eval starts "
                         "(0 = only once at the end)")
@@ -93,6 +96,7 @@ def main():
             map_eval_every=args.map_every,
             ema_decay=args.ema,
             save_cooldown_epochs=args.save_cooldown,
+            use_pallas_loss=args.pallas_loss,
             seed=args.seed),
         # learned boxes surface earlier at a lower serving threshold; padded
         # partial batches are masked out of the metrics (80 % 16 == 0 here,
