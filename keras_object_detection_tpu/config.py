@@ -103,8 +103,10 @@ class DataConfig:
     # Keep the ENTIRE dataset resident in device HBM and gather batches
     # on-device by index (data/pipeline.py DeviceCachedDataset): one upload,
     # then only a (batch,) index vector per step. For datasets that fit in
-    # HBM; requires a single-device mesh. Removes the per-step host->device
-    # image transfer (the relay bottleneck/leak — see the class docstring).
+    # HBM; on multi-device meshes the cache is replicated per device and the
+    # gathered batch constrained to the data-axis sharding. Removes the
+    # per-step host->device image transfer (the relay bottleneck/leak — see
+    # the class docstring).
     device_cache: bool = False
 
 

@@ -122,15 +122,21 @@ class YoloDataset:
             images[i], boxes[i], valid[i] = img, bx, vl
         return images, boxes, valid
 
-    def epoch(self) -> Iterator[Batch]:
-        """Yield host batches for one epoch (images padded to batch_size;
-        trailing pad images have zero valid boxes and zero pixels)."""
+    def epoch_indices(self) -> Iterator[np.ndarray]:
+        """Per-batch index arrays into ``paths`` for one epoch (the final
+        batch may be short when drop_remainder=False). The single source of
+        the epoch order — both the host loader and DeviceCachedDataset
+        derive their batches from it, keeping their orders bit-identical."""
         order = np.arange(len(self.paths))
         if self.shuffle:
             self._rng.shuffle(order)
-        nb = len(self)
-        for i in range(nb):
-            sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+        for i in range(len(self)):
+            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def epoch(self) -> Iterator[Batch]:
+        """Yield host batches for one epoch (images padded to batch_size;
+        trailing pad images have zero valid boxes and zero pixels)."""
+        for sel in self.epoch_indices():
             yield self._load_batch(self.paths[sel])
 
     def prefetched(
@@ -187,42 +193,39 @@ class DeviceCachedDataset:
         copy; the per-step gather is then constrained back to the batch
         sharding in the train step). Default: the single default device."""
         n, size, m = ds.num_examples, ds.image_size, ds.max_boxes
+        gb = (n + 1) * size * size * 3 / 1e9
+        if gb > 12.0:  # checked BEFORE any allocation/decode work
+            raise ValueError(
+                f"device_cache: dataset is {gb:.1f} GB of uint8 images — "
+                "too large for HBM; use cache_dir (disk) instead")
         imgs = np.zeros((n + 1, size, size, 3), np.uint8)
         boxes = np.zeros((n + 1, m, 5), np.float32)
         valid = np.zeros((n + 1, m), bool)
         for i, p in enumerate(ds.paths):
             im, bx, vl = ds._load_one(p)
             imgs[i], boxes[i], valid[i] = im, bx, vl
-        gb = imgs.nbytes / 1e9
-        if gb > 12.0:
-            raise ValueError(
-                f"device_cache: dataset is {gb:.1f} GB of uint8 images — "
-                "too large for HBM; use cache_dir (disk) instead")
         put = (lambda x: jax.device_put(x, sharding) if sharding is not None
                else jax.device_put(x))
         self.images = put(imgs)
         self.boxes = put(boxes)
         self.valid = put(valid)
+        if ds._cache:
+            # the load loop populated the host RAM cache; nothing reads it
+            # again once the data lives in HBM — release the duplicate copy
+            ds._cache.clear()
         self.pad_row = n
         self.batch_size = ds.batch_size
         self.num_examples = n
-        self.drop_remainder = ds.drop_remainder
-        self._shuffle = ds.shuffle
-        self._rng = ds._rng  # share the host loader's shuffle stream
+        self._ds = ds
 
     def __len__(self) -> int:
-        n, b = self.num_examples, self.batch_size
-        if self.drop_remainder:
-            return n // b
-        return n // b + (1 if n % b else 0)
+        return len(self._ds)
 
     def epoch_indices(self) -> Iterator[np.ndarray]:
-        """Per-batch index arrays (padded to batch_size with the zero row)."""
-        order = np.arange(self.num_examples)
-        if self._shuffle:
-            self._rng.shuffle(order)
-        for i in range(len(self)):
-            sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+        """Per-batch index arrays (padded to batch_size with the zero row).
+        Delegates the order to ``YoloDataset.epoch_indices`` — one shared
+        shuffle implementation, bit-identical to the host loader."""
+        for sel in self._ds.epoch_indices():
             if len(sel) < self.batch_size:
                 sel = np.concatenate([
                     sel, np.full(self.batch_size - len(sel), self.pad_row)])

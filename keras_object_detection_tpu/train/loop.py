@@ -239,15 +239,31 @@ def run_dataset_eval(config: Config, eval_step, map_metric, state: TrainState,
     Returns ``(loss, mAP-or-None)``.
     """
     mask = config.eval.mask_padded_images
+
+    def stepped():
+        for i, (images, boxes, valid) in enumerate(ds.prefetched(sharding)):
+            weight = None
+            if mask:
+                n_real = min(ds.batch_size,
+                             ds.num_examples - i * ds.batch_size)
+                weight = jnp.arange(ds.batch_size) < n_real
+            loss, y_true, y_pred = eval_step(state, images, boxes, valid,
+                                             weight)
+            yield loss, y_true, y_pred, weight
+
+    return _accumulate_eval(mask, ds.batch_size, ds.num_examples, stepped(),
+                            with_map, map_metric)
+
+
+def _accumulate_eval(mask, batch_size, num_examples, stepped, with_map,
+                     map_metric):
+    """Shared accumulation core behind every eval pass: device-side loss sum
+    (one readback after the loop), masked-loss scaling, mAP updates.
+    ``stepped`` yields ``(loss, y_true, y_pred, weight)`` per batch."""
     total, batches = None, 0
     if with_map:
         map_metric.reset_states()
-    for i, (images, boxes, valid) in enumerate(ds.prefetched(sharding)):
-        weight = None
-        if mask:
-            n_real = min(ds.batch_size, ds.num_examples - i * ds.batch_size)
-            weight = jnp.arange(ds.batch_size) < n_real
-        loss, y_true, y_pred = eval_step(state, images, boxes, valid, weight)
+    for loss, y_true, y_pred, weight in stepped:
         total = loss if total is None else total + loss
         batches += 1
         if with_map:
@@ -255,7 +271,10 @@ def run_dataset_eval(config: Config, eval_step, map_metric, state: TrainState,
     if not batches:
         return 0.0, (map_metric.result() if with_map else None)
     if mask:
-        loss_out = float(total) * ds.batch_size / max(ds.num_examples, 1)
+        # batch_size * per-image mean: identical to the unmasked
+        # mean-of-batch-sums whenever the batch size divides the set, and
+        # the exact unpadded value when it doesn't.
+        loss_out = float(total) * batch_size / max(num_examples, 1)
     else:
         loss_out = float(total) / batches
     return loss_out, (map_metric.result() if with_map else None)
@@ -339,32 +358,25 @@ class Trainer:
 
     def _run_validation_cached(self, state: TrainState, dev,
                                with_map: bool) -> Dict[str, float]:
-        """Validation over a DeviceCachedDataset: same masked semantics as
-        run_dataset_eval, with batches gathered on device by index (padded
-        rows are the zero sentinel => weight = idx < num_examples)."""
+        """Validation over a DeviceCachedDataset: batches gathered on device
+        by index (padded rows are the zero sentinel => weight =
+        idx < num_examples); accumulation shared with run_dataset_eval."""
         mask = self.config.eval.mask_padded_images
-        total, batches = None, 0
+
+        def stepped():
+            for idx in dev.epoch_indices():
+                weight = jnp.asarray(idx < dev.num_examples) if mask else None
+                loss, y_true, y_pred = self._eval_step_cached(
+                    state, dev.images, dev.boxes, dev.valid,
+                    jnp.asarray(idx), weight)
+                yield loss, y_true, y_pred, weight
+
+        loss, map_val = _accumulate_eval(
+            mask, dev.batch_size, dev.num_examples, stepped(), with_map,
+            self.map_metric)
+        out = {"val_loss": loss}
         if with_map:
-            self.map_metric.reset_states()
-        for idx in dev.epoch_indices():
-            weight = jnp.asarray(idx < dev.num_examples) if mask else None
-            loss, y_true, y_pred = self._eval_step_cached(
-                state, dev.images, dev.boxes, dev.valid, jnp.asarray(idx),
-                weight)
-            total = loss if total is None else total + loss
-            batches += 1
-            if with_map:
-                self.map_metric.update_state(y_true, y_pred,
-                                             image_valid=weight)
-        if not batches:
-            val_loss = 0.0
-        elif mask:
-            val_loss = float(total) * dev.batch_size / max(dev.num_examples, 1)
-        else:
-            val_loss = float(total) / batches
-        out = {"val_loss": val_loss}
-        if with_map:
-            out["val_mAP"] = self.map_metric.result()
+            out["val_mAP"] = map_val
         return out
 
     def _should_eval_map(self, epoch: int, improved: bool) -> bool:
@@ -428,6 +440,7 @@ class Trainer:
         since_best = 0
         lr_scale = 1.0
         last_save = -(10 ** 9)  # first improvement always saves
+        last_monitor = float("inf")
         for epoch in range(epoch_offset, epoch_offset + epochs):
             lr = float(lrs[epoch]) * lr_scale
             if reduce_on_plateau is not None:
@@ -501,19 +514,20 @@ class Trainer:
                                   f"{reduce_on_plateau[0]} -> scale {lr_scale:.4g}")
                 # save_best_only semantics (ref train.py:154): serialize only
                 # on improvement (device_get of the full state costs ~10s for
-                # the flagship through the relay), plus the final epoch for
-                # clean resume. save_cooldown_epochs throttles the early
-                # phase where every epoch improves.
+                # the flagship through the relay). save_cooldown_epochs
+                # throttles the early phase where every epoch improves; an
+                # improvement skipped by the cooldown marks the checkpoint
+                # set stale so the loop ALWAYS serializes the final state on
+                # exit (normal end or early stop) — nothing newer than
+                # last_save is ever silently lost.
                 cooldown = getattr(cfg.train, "save_cooldown_epochs", 0)
-                if (improved and epoch - last_save >= cooldown) or (
-                        epoch == epoch_offset + epochs - 1):
+                last_monitor = val["val_loss"]
+                if improved and epoch - last_save >= cooldown:
                     self.ckpt.save(epoch, jax.device_get(state),
                                    {"val_loss": val["val_loss"]})
                     last_save = epoch
             else:
-                if epoch == epoch_offset + epochs - 1:
-                    self.ckpt.save(epoch, jax.device_get(state),
-                                   {"val_loss": train_metrics["total"]})
+                last_monitor = train_metrics["total"]
 
             self.logger.log(epoch, logs)
             if verbose:
@@ -525,6 +539,11 @@ class Trainer:
                     print(f"early stop at epoch {epoch + 1}")
                 break
 
+        # Final-state save (resume point + any improvement the cooldown
+        # deferred); skipped only if this exact epoch was just saved.
+        if epochs > 0 and last_save != epoch:
+            self.ckpt.save(epoch, jax.device_get(state),
+                           {"val_loss": float(last_monitor)})
         self.ckpt.wait()
         return state
 

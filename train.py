@@ -58,7 +58,8 @@ def parse_args():
                         "datasets too big for --cache-in-memory)")
     p.add_argument("--device-cache", action="store_true",
                    help="keep the whole dataset resident in device HBM and "
-                        "gather batches on-device (single-device mesh only)")
+                        "gather batches on-device (replicated per device on "
+                        "multi-device meshes)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
