@@ -51,10 +51,12 @@ def test_visualize_dataset_tool(tmp_path):
         [sys.executable, "tools/visualize_dataset.py",
          "--data-dir", "/root/reference/yolo_v1/data",
          "--names", NAMES, "--out-dir", str(tmp_path), "--image-size", "224"],
-        # generous: fresh-compile requests can stall for minutes when another
-        # process is using the TPU relay (see CLAUDE.md environment gotchas)
         capture_output=True, text=True, timeout=570,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        # PALLAS_AXON_POOL_IPS="" skips the axon sitecustomize entirely: its
+        # relay handshake stalls a fresh CPU-only interpreter for ~4 minutes
+        # (6.8 s without it — see CLAUDE.md environment gotchas)
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert (tmp_path / "test_tagged.jpg").exists()
