@@ -207,3 +207,13 @@ def test_disk_cache_identical_and_stale_rebuild(data_dir, tmp_path):
     assert img96.shape[1:] == (96, 96, 3)
     np.testing.assert_array_equal(
         img96[0], next(YoloDataset(data_dir, 96, 5).epoch())[0][0])
+
+
+def test_device_cached_dataset_size_guard(data_dir):
+    """The HBM-size guard fires BEFORE any host allocation or decode work
+    (an oversized request must fail fast, not after minutes of decode)."""
+    from keras_object_detection_tpu.data.pipeline import DeviceCachedDataset
+
+    ds = YoloDataset(data_dir, 50000, 2, max_boxes=4)  # ~37 GB of uint8
+    with pytest.raises(ValueError, match="too large for HBM"):
+        DeviceCachedDataset(ds)
