@@ -103,11 +103,37 @@ class DataConfig:
     # Keep the ENTIRE dataset resident in device HBM and gather batches
     # on-device by index (data/pipeline.py DeviceCachedDataset): one upload,
     # then only a (batch,) index vector per step. For datasets that fit in
-    # HBM; on multi-device meshes the cache is replicated per device and the
-    # gathered batch constrained to the data-axis sharding. Removes the
-    # per-step host->device image transfer (the relay bottleneck/leak — see
-    # the class docstring).
+    # HBM; removes the per-step host->device image transfer (the relay
+    # bottleneck/leak — see the class docstring).
     device_cache: bool = False
+    # HBM layout of the cache on a multi-device mesh:
+    #   "replicated" — every device holds the full dataset; the per-step
+    #     gather is local (no collectives). Per-device memory = dataset size.
+    #   "sharded"    — rows are sharded over the data axis; each device
+    #     gathers its shard's contributions and one reduce-scatter
+    #     (lax.psum_scatter over ICI) assembles the batch, already sharded
+    #     on the data axis. Per-device memory = dataset / data_parallel, so
+    #     VOC-scale 448 sets (~13 GB) fit an 8-chip mesh. Bit-identical
+    #     batches to both other paths (same shared shuffle stream).
+    device_cache_layout: str = "replicated"
+    # Host decode/cache resolution for TRAIN images (crop fidelity). None =
+    # the model image_size (status-quo parity: crops of an already-resized
+    # image can be up to ~12% linearly upsampled). Set ABOVE image_size —
+    # e.g. ceil(448/sqrt(0.8)) = 501 for the flagship — and the on-device
+    # RandomResizedCrop samples at or above target resolution, like
+    # Albumentations cropping the original image then resizing once (ref
+    # dataset.py:139). Eval datasets always decode at image_size.
+    train_decode_size: Optional[int] = None
+
+    def train_input_size(self, image_size: int) -> int:
+        """Resolution train datasets must be decoded/cached at."""
+        if self.train_decode_size is not None:
+            if self.train_decode_size < image_size:
+                raise ValueError(
+                    f"train_decode_size {self.train_decode_size} < model "
+                    f"image_size {image_size}")
+            return self.train_decode_size
+        return image_size
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,17 +232,24 @@ class Config:
     def from_json(cls, text: str) -> "Config":
         import json
 
+        import typing
+
         d = json.loads(text)
 
         def build(tp, section):
+            # get_type_hints resolves the stringified annotations that
+            # `from __future__ import annotations` produces, so nested
+            # dataclass fields are detected structurally (any future nested
+            # config section works without a name special-case).
+            hints = typing.get_type_hints(tp)
             fields = {f.name: f for f in dataclasses.fields(tp)}
             kwargs = {}
             for k, v in section.items():
                 if k not in fields:
                     continue
-                f = fields[k]
-                if dataclasses.is_dataclass(f.type) or f.name == "schedule":
-                    kwargs[k] = build(ScheduleConfig, v)
+                ftype = hints[k]
+                if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                    kwargs[k] = build(ftype, v)
                 elif isinstance(v, list):
                     kwargs[k] = tuple(v)
                 else:

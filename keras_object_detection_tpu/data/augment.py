@@ -159,21 +159,32 @@ def _random_resized_crop(
     scale: Tuple[float, float],
     ratio: Tuple[float, float],
     min_visibility: float,
+    out_size: int = None,
 ):
-    """Sample a crop window (relative units), resample the image back to its
-    own size via ``scale_and_translate``, and remap/clip/filter the boxes."""
-    size = img.shape[0]
+    """Sample a crop window (relative units), resample the image to
+    ``out_size`` (default: its own size) via ``scale_and_translate``, and
+    remap/clip/filter the boxes.
+
+    ``out_size < img.shape[0]`` is the crop-fidelity path: the host decodes
+    the train image ABOVE the model resolution
+    (``DataConfig.train_decode_size``), so the crop samples at or above
+    target resolution — like Albumentations cropping the original image then
+    resizing once (ref dataset.py:139) — instead of re-upsampling an
+    already-downsampled image."""
+    in_size = img.shape[0]
+    out_size = in_size if out_size is None else out_size
     x0, y0, crop_w, crop_h = sample_crop_window(key, scale, ratio)
 
     # out[o] samples in[(o + 0.5 - t)/s - 0.5]; choose s, t so the crop window
-    # [y0, y0+crop_h] maps onto the full output.
-    sy = 1.0 / crop_h
-    sx = 1.0 / crop_w
-    ty = -y0 * size * sy
-    tx = -x0 * size * sx
+    # [y0, y0+crop_h] (relative units of the INPUT) maps onto the full
+    # out_size output.
+    sy = out_size / (crop_h * in_size)
+    sx = out_size / (crop_w * in_size)
+    ty = -y0 * in_size * sy
+    tx = -x0 * in_size * sx
     img = jax.image.scale_and_translate(
         img,
-        shape=img.shape,
+        shape=(out_size, out_size) + img.shape[2:],
         spatial_dims=(0, 1),
         scale=jnp.stack([sy, sx]),
         translation=jnp.stack([ty, tx]),
@@ -211,6 +222,7 @@ def _flip_crop_one(
     crop_scale: Tuple[float, float],
     crop_ratio: Tuple[float, float],
     min_visibility: float,
+    out_size: int = None,
 ):
     """Per-image spatial augmentation (the color jitter runs batch-level in
     ``augment_batch`` — it is pixelwise/permutation-invariant, so it commutes
@@ -224,7 +236,8 @@ def _flip_crop_one(
         flip, boxes.at[:, 0].set(1.0 - boxes[:, 0]), boxes)
 
     img, boxes, valid = _random_resized_crop(
-        img, boxes, valid, kcrop, crop_scale, crop_ratio, min_visibility)
+        img, boxes, valid, kcrop, crop_scale, crop_ratio, min_visibility,
+        out_size)
     return img, boxes, valid
 
 
@@ -232,7 +245,7 @@ def _flip_crop_one(
     jax.jit,
     static_argnames=(
         "hflip_prob", "color_strengths", "crop_scale", "crop_ratio",
-        "min_visibility",
+        "min_visibility", "out_size",
     ),
 )
 def augment_batch(
@@ -245,9 +258,17 @@ def augment_batch(
     crop_scale: Tuple[float, float] = (0.8, 1.0),
     crop_ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
     min_visibility: float = 0.1,
+    out_size: int = None,
 ):
     """Train-time augmentation for a batch: ``(B, H, W, 3) u8`` + padded boxes
-    -> normalized float images + remapped boxes + updated validity."""
+    -> normalized float images + remapped boxes + updated validity.
+
+    ``out_size``: model input resolution of the emitted batch (default: the
+    input resolution). Feeding images decoded ABOVE out_size
+    (``DataConfig.train_decode_size``) makes the random crop sample at or
+    above target resolution — the Albumentations crop-the-original fidelity
+    (ref dataset.py:139) — with identical window/box geometry (all the crop
+    math is in relative units)."""
     kjit, kspatial = jax.random.split(key)
     imgs = images_u8.astype(jnp.float32) / 255.0  # Normalize, ref dataset.py:140
     if any(s > 0 for s in color_strengths):
@@ -255,7 +276,8 @@ def augment_batch(
     keys = jax.random.split(kspatial, images_u8.shape[0])
     return jax.vmap(
         lambda i, b, v, k: _flip_crop_one(
-            i, b, v, k, hflip_prob, crop_scale, crop_ratio, min_visibility)
+            i, b, v, k, hflip_prob, crop_scale, crop_ratio, min_visibility,
+            out_size)
     )(imgs, boxes, valid, keys)
 
 

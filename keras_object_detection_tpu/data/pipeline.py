@@ -170,6 +170,22 @@ class YoloDataset:
             yield queue.popleft()
 
 
+def _hbm_budget_bytes(device, layout: str) -> int:
+    """Per-device byte budget for the cache: the device's reported memory
+    limit minus a working-set allowance (params + optimizer/EMA state +
+    train-step activations — ~4 GB covers the flagship at batch 32), or a
+    12 GB default when the backend doesn't report memory stats."""
+    headroom = 4 << 30
+    try:
+        stats = device.memory_stats()
+        limit = int(stats.get("bytes_limit", 0)) if stats else 0
+    except Exception:
+        limit = 0
+    if limit > headroom:
+        return limit - headroom
+    return 12 << 30
+
+
 class DeviceCachedDataset:
     """The ENTIRE dataset resident in device HBM; batches are gathered
     on-device by index array.
@@ -183,27 +199,66 @@ class DeviceCachedDataset:
     a host-memory leak (the axon PJRT client retains every transfer buffer;
     ~19 MB leaked per 448x448 batch-32 put, OOM after ~150 epochs).
 
+    Two HBM layouts (``DataConfig.device_cache_layout``):
+
+    - ``"replicated"``: every device holds the full dataset; the gather is
+      a local ``arr[idx]`` constrained back to the batch sharding.
+    - ``"sharded"``: rows are sharded over the mesh's data axis, so
+      per-device memory is dataset/dp and VOC-scale 448 sets fit an 8-chip
+      mesh. The gather runs under ``shard_map``: each device picks the
+      requested rows that live in ITS shard (out-of-shard slots zeroed) and
+      one ``lax.psum_scatter`` over ICI assembles the batch directly in
+      data-axis-sharded form — exactly one owner contributes per slot, so
+      the integer add is exact and uint8 pixels never widen. Against the
+      reference, which re-decodes every JPEG from disk every epoch (ref
+      dataset.py:75-76), both layouts decode exactly once per run.
+
     Row ``num_examples`` is an all-zero sentinel used to pad the final
     partial batch — identical semantics to the host loader's zero-padding.
+    Batch composition is bit-identical across layouts and to the host
+    loader (one shared shuffle stream, ``YoloDataset.epoch_indices``).
     """
 
-    def __init__(self, ds: YoloDataset, sharding=None):
-        """``sharding``: where the cached arrays live — pass a REPLICATED
-        ``NamedSharding`` on a multi-device mesh (each device holds a full
-        copy; the per-step gather is then constrained back to the batch
-        sharding in the train step). Default: the single default device."""
+    def __init__(self, ds: YoloDataset, sharding=None, mesh=None,
+                 data_axis: str = "data", layout: str = "replicated"):
+        """``mesh`` + ``layout``: the mesh-aware path (preferred). ``layout``
+        ``"sharded"`` requires ``mesh``; rows land sharded over
+        ``data_axis``. ``sharding``: legacy escape hatch — an explicit
+        ``NamedSharding`` for the cache arrays (replicated layout only)."""
+        if layout not in ("replicated", "sharded"):
+            raise ValueError(f"unknown device_cache layout {layout!r}")
+        if layout == "sharded" and mesh is None:
+            raise ValueError("layout='sharded' requires a mesh")
         n, size, m = ds.num_examples, ds.image_size, ds.max_boxes
-        gb = (n + 1) * size * size * 3 / 1e9
-        if gb > 12.0:  # checked BEFORE any allocation/decode work
+        dp = mesh.shape[data_axis] if (mesh is not None) else 1
+        # rows: n examples + >=1 zero pad row, rounded up so each data-axis
+        # shard is equal-sized
+        n_rows = n + 1
+        if layout == "sharded":
+            n_rows = ((n_rows + dp - 1) // dp) * dp
+        row_bytes = size * size * 3 + m * 5 * 4 + m  # image + boxes + valid
+        per_device = n_rows * row_bytes // (dp if layout == "sharded" else 1)
+        budget = _hbm_budget_bytes(jax.devices()[0], layout)
+        if per_device > budget:  # checked BEFORE any allocation/decode work
             raise ValueError(
-                f"device_cache: dataset is {gb:.1f} GB of uint8 images — "
-                "too large for HBM; use cache_dir (disk) instead")
-        imgs = np.zeros((n + 1, size, size, 3), np.uint8)
-        boxes = np.zeros((n + 1, m, 5), np.float32)
-        valid = np.zeros((n + 1, m), bool)
+                f"device_cache: dataset needs {per_device / 1e9:.1f} GB "
+                f"per device ({layout}) — too large for HBM (budget "
+                f"{budget / 1e9:.1f} GB); "
+                + ("use cache_dir (disk) instead"
+                   if layout == "sharded" or dp == 1 else
+                   "try device_cache_layout='sharded' or cache_dir (disk)"))
+        imgs = np.zeros((n_rows, size, size, 3), np.uint8)
+        boxes = np.zeros((n_rows, m, 5), np.float32)
+        valid = np.zeros((n_rows, m), bool)
         for i, p in enumerate(ds.paths):
             im, bx, vl = ds._load_one(p)
             imgs[i], boxes[i], valid[i] = im, bx, vl
+        if layout == "sharded" or (sharding is None and mesh is not None):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = (PartitionSpec(data_axis) if layout == "sharded"
+                    else PartitionSpec())
+            sharding = NamedSharding(mesh, spec)
         put = (lambda x: jax.device_put(x, sharding) if sharding is not None
                else jax.device_put(x))
         self.images = put(imgs)
@@ -213,13 +268,64 @@ class DeviceCachedDataset:
             # the load loop populated the host RAM cache; nothing reads it
             # again once the data lives in HBM — release the duplicate copy
             ds._cache.clear()
+        self.layout = layout
+        self.n_rows = n_rows
         self.pad_row = n
         self.batch_size = ds.batch_size
         self.num_examples = n
+        self._mesh = mesh
+        self._data_axis = data_axis
         self._ds = ds
 
     def __len__(self) -> int:
         return len(self._ds)
+
+    def make_gather(self, batch_sharding=None):
+        """Build ``gather(images, boxes, valid, idx) -> (imgs, boxes, valid)``
+        for use INSIDE a jitted step (one dispatch per step total).
+
+        Replicated layout: local take + optional sharding constraint to the
+        batch sharding. Sharded layout: shard_map local-take + psum_scatter
+        (see class docstring); the result is already data-axis sharded.
+        """
+        if self.layout == "replicated":
+            def gather(imgs, bxs, vld, idx):
+                if batch_sharding is None:
+                    return imgs[idx], bxs[idx], vld[idx]
+                c = lambda x: jax.lax.with_sharding_constraint(
+                    x, batch_sharding)
+                return c(imgs[idx]), c(bxs[idx]), c(vld[idx])
+
+            return gather
+
+        import jax.numpy as jnp
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+
+        axis = self._data_axis
+        n_local = self.n_rows // self._mesh.shape[axis]
+
+        @partial(jax.shard_map, mesh=self._mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P()),
+                 out_specs=(P(axis), P(axis), P(axis)))
+        def gather(imgs, bxs, vld, idx):
+            d = jax.lax.axis_index(axis)
+            local = idx - d * n_local
+            ok = (local >= 0) & (local < n_local)
+            li = jnp.clip(local, 0, n_local - 1)
+
+            def pick(arr):
+                rows = arr[li]
+                mask = ok.reshape((-1,) + (1,) * (rows.ndim - 1))
+                rows = jnp.where(mask, rows, jnp.zeros((), rows.dtype))
+                return jax.lax.psum_scatter(
+                    rows, axis, scatter_dimension=0, tiled=True)
+
+            # bool has no add; ship validity as uint8 and re-threshold
+            return (pick(imgs), pick(bxs),
+                    pick(vld.astype(jnp.uint8)) != 0)
+
+        return gather
 
     def epoch_indices(self) -> Iterator[np.ndarray]:
         """Per-batch index arrays (padded to batch_size with the zero row).

@@ -109,11 +109,21 @@ class InferenceModel:
             def run(x):
                 return self._forward_decode_nms(self._variables, x)
 
-        jax.block_until_ready(run(x))  # compile
+        # Sync with a VALUE READBACK, not block_until_ready: on the axon
+        # relay platform block_until_ready has been observed to return before
+        # execution completes (phantom timings — the same bug bench.py:60
+        # guards against). The validity mask is tiny (batch x 49 bool), so
+        # the readback itself adds only the unavoidable host round-trip that
+        # a real serving client pays anyway.
+        def run_synced(x):
+            out = run(x)
+            np.asarray(out[-1])  # forces completion of the whole program
+
+        run_synced(x)  # compile + warmup
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x))
+            run_synced(x)
             times.append((time.perf_counter() - t0) * 1000)
         times.sort()
         return {

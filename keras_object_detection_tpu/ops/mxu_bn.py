@@ -65,8 +65,13 @@ def _row_dot(a2d: jnp.ndarray, b2d: jnp.ndarray) -> jnp.ndarray:
     """Per-channel ``sum(a * b)`` as the diagonal of ``A^T @ B`` -> (C,) f32.
 
     The full (C, C) product is computed; on the MXU that costs the same
-    single streaming pass over A and B as a plain reduction would, and the
-    (C, C) f32 output is tiny next to the activations.
+    single streaming pass over A and B as a plain reduction would. The
+    (C, C) f32 OUTPUT is an O(C^2) transient, though: negligible for conv
+    channels (C <= 1024 -> <= 4 MB) but ~98 MB for the 4960-unit dense-head
+    BatchNorm. Acceptable only because this mode is a kept-for-the-record
+    negative result (55.9 vs 48.5 ms/step stock — XLA canonicalizes these
+    dots back into reduces anyway, see the module docstring); tile C in
+    blocks here before ever promoting the mode to a default.
     """
     gram = lax.dot_general(a2d, b2d, _ROW_CONTRACT,
                            precision=_precision_for(a2d.dtype),

@@ -119,6 +119,10 @@ def make_train_step(config: Config):
             hflip_prob=d.hflip_prob, color_strengths=tuple(d.color_jitter),
             crop_scale=tuple(d.crop_scale), crop_ratio=tuple(d.crop_ratio),
             min_visibility=d.min_visibility,
+            # crop-fidelity path: inputs may be decoded above model
+            # resolution (DataConfig.train_decode_size); the crop emits
+            # model-resolution images either way
+            out_size=config.model.image_size,
         )
         y_true = jax.vmap(
             lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
@@ -223,7 +227,8 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
 
 
 def run_dataset_eval(config: Config, eval_step, map_metric, state: TrainState,
-                     ds: YoloDataset, with_map: bool = True, sharding=None):
+                     ds: YoloDataset, with_map: bool = True, sharding=None,
+                     stash=None):
     """One masked/unmasked eval pass over ``ds``: device-side loss
     accumulation (one readback after the loop) + optional mAP.
 
@@ -252,14 +257,20 @@ def run_dataset_eval(config: Config, eval_step, map_metric, state: TrainState,
             yield loss, y_true, y_pred, weight
 
     return _accumulate_eval(mask, ds.batch_size, ds.num_examples, stepped(),
-                            with_map, map_metric)
+                            with_map, map_metric, stash=stash)
 
 
 def _accumulate_eval(mask, batch_size, num_examples, stepped, with_map,
-                     map_metric):
+                     map_metric, stash=None):
     """Shared accumulation core behind every eval pass: device-side loss sum
     (one readback after the loop), masked-loss scaling, mAP updates.
-    ``stepped`` yields ``(loss, y_true, y_pred, weight)`` per batch."""
+    ``stepped`` yields ``(loss, y_true, y_pred, weight)`` per batch.
+
+    ``stash``: optional list that collects ``(y_true, y_pred, weight)``
+    device refs per batch when ``with_map=False`` — lets the caller decide
+    AFTER seeing the loss whether to run the mAP accumulator, without a
+    second forward pass (the stash is grid tensors, ~6 KB/image, not
+    images)."""
     total, batches = None, 0
     if with_map:
         map_metric.reset_states()
@@ -268,13 +279,19 @@ def _accumulate_eval(mask, batch_size, num_examples, stepped, with_map,
         batches += 1
         if with_map:
             map_metric.update_state(y_true, y_pred, image_valid=weight)
+        elif stash is not None:
+            stash.append((y_true, y_pred, weight))
     if not batches:
         return 0.0, (map_metric.result() if with_map else None)
     if mask:
         # batch_size * per-image mean: identical to the unmasked
         # mean-of-batch-sums whenever the batch size divides the set, and
-        # the exact unpadded value when it doesn't.
-        loss_out = float(total) * batch_size / max(num_examples, 1)
+        # the exact unpadded value when it doesn't. The denominator is the
+        # number of images ACTUALLY evaluated: with drop_remainder=True the
+        # final partial batch never runs, so its images must not deflate
+        # the mean (min() covers both remainder policies).
+        n_evaluated = min(num_examples, batches * batch_size)
+        loss_out = float(total) * batch_size / max(n_evaluated, 1)
     else:
         loss_out = float(total) / batches
     return loss_out, (map_metric.result() if with_map else None)
@@ -302,21 +319,13 @@ class Trainer:
         self._train_step_fn = make_train_step(config)
         self._train_step_jit = None
         self._eval_step = jax.jit(make_eval_step(config))
-        # device_cache variants: same step fns behind an on-device gather;
-        # the gathered batch is constrained to the data-axis sharding so the
-        # replicated-dataset gather feeds a normally-sharded step.
-        self._train_step_cached = None
-        eval_fn = make_eval_step(config)
-        bsh = self._batch_sharding
-
-        def _eval_cached(state, imgs, bxs, vld, idx, weight):
-            c = lambda x: jax.lax.with_sharding_constraint(x, bsh)
-            if weight is not None:
-                weight = c(weight)
-            return eval_fn(state, c(imgs[idx]), c(bxs[idx]), c(vld[idx]),
-                           weight)
-
-        self._eval_step_cached = jax.jit(_eval_cached)
+        self._eval_step_fn = make_eval_step(config)
+        # device_cache variants: same step fns behind an on-device gather
+        # (DeviceCachedDataset.make_gather — local take for the replicated
+        # layout, shard_map+psum_scatter for the sharded one). Built lazily
+        # PER DATASET (the sharded gather closes over the shard geometry)
+        # and cached by dataset identity.
+        self._cached_jits: Dict[Any, Any] = {}
         self.logger = MetricLogger(config.train.log_dir,
                                    use_tensorboard=use_tensorboard)
         self.ckpt = CheckpointManager(config.train.checkpoint_dir)
@@ -347,37 +356,63 @@ class Trainer:
         return self._train_step_jit(state, *args)
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,
-                        with_map: bool) -> Dict[str, float]:
+                        with_map: bool, stash=None) -> Dict[str, float]:
         loss, map_val = run_dataset_eval(
             self.config, self._eval_step, self.map_metric, state, ds,
-            with_map=with_map, sharding=self._batch_sharding)
+            with_map=with_map, sharding=self._batch_sharding, stash=stash)
         out = {"val_loss": loss}
         if with_map:
             out["val_mAP"] = map_val
         return out
 
+    def _cached_eval_jit(self, dev):
+        """Jitted eval step over a DeviceCachedDataset (gather fused in)."""
+        key = ("eval", id(dev))
+        if key not in self._cached_jits:
+            gather = dev.make_gather(self._batch_sharding)
+            eval_fn = self._eval_step_fn
+            bsh = self._batch_sharding
+
+            def _eval_cached(state, imgs, bxs, vld, idx, weight):
+                ib, bb, vb = gather(imgs, bxs, vld, idx)
+                if weight is not None:
+                    weight = jax.lax.with_sharding_constraint(weight, bsh)
+                return eval_fn(state, ib, bb, vb, weight)
+
+            self._cached_jits[key] = jax.jit(_eval_cached)
+        return self._cached_jits[key]
+
     def _run_validation_cached(self, state: TrainState, dev,
-                               with_map: bool) -> Dict[str, float]:
+                               with_map: bool, stash=None) -> Dict[str, float]:
         """Validation over a DeviceCachedDataset: batches gathered on device
         by index (padded rows are the zero sentinel => weight =
         idx < num_examples); accumulation shared with run_dataset_eval."""
         mask = self.config.eval.mask_padded_images
+        eval_cached = self._cached_eval_jit(dev)
 
         def stepped():
             for idx in dev.epoch_indices():
                 weight = jnp.asarray(idx < dev.num_examples) if mask else None
-                loss, y_true, y_pred = self._eval_step_cached(
+                loss, y_true, y_pred = eval_cached(
                     state, dev.images, dev.boxes, dev.valid,
                     jnp.asarray(idx), weight)
                 yield loss, y_true, y_pred, weight
 
         loss, map_val = _accumulate_eval(
             mask, dev.batch_size, dev.num_examples, stepped(), with_map,
-            self.map_metric)
+            self.map_metric, stash=stash)
         out = {"val_loss": loss}
         if with_map:
             out["val_mAP"] = map_val
         return out
+
+    def _map_from_stash(self, stash) -> float:
+        """Run the mAP accumulator over predictions stashed by a loss pass —
+        the second half of the single-pass validation (no new forwards)."""
+        self.map_metric.reset_states()
+        for y_true, y_pred, weight in stash:
+            self.map_metric.update_state(y_true, y_pred, image_valid=weight)
+        return self.map_metric.result()
 
     def _should_eval_map(self, epoch: int, improved: bool) -> bool:
         """The reference's mAP evaluation policy (ref train.py:189-200):
@@ -417,15 +452,18 @@ class Trainer:
             from keras_object_detection_tpu.data.pipeline import (
                 DeviceCachedDataset)
 
-            # Replicated across the mesh: every device holds the dataset;
-            # the cached step gathers the batch and constrains it back to
-            # the data-axis sharding (XLA keeps only the local shard's
-            # work after propagation).
-            dev_train = DeviceCachedDataset(train_ds,
-                                            sharding=self._replicated)
+            # layout "replicated": every device holds the dataset, local
+            # gather constrained to the data-axis sharding. layout
+            # "sharded": rows sharded over the data axis, shard_map +
+            # psum_scatter gather (per-device HBM = dataset / dp).
+            layout = getattr(cfg.data, "device_cache_layout", "replicated")
+            dev_train = DeviceCachedDataset(
+                train_ds, mesh=self.mesh, data_axis=cfg.mesh.data_axis,
+                layout=layout)
             if val_ds is not None:
-                dev_val = DeviceCachedDataset(val_ds,
-                                              sharding=self._replicated)
+                dev_val = DeviceCachedDataset(
+                    val_ds, mesh=self.mesh, data_axis=cfg.mesh.data_axis,
+                    layout=layout)
         # Resume-aware epoch numbering: continue the LR schedule and the
         # checkpoint step counter from where the restored state left off
         # instead of restarting at epoch 0.
@@ -437,6 +475,11 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
         best = float("inf")
+        # Best value actually ON DISK — kept separately from `best` (the
+        # early-stop/plateau monitor): with save_cooldown_epochs > 0 an
+        # improvement can be skipped, and a later epoch that beats everything
+        # saved (but not the skipped best) must still checkpoint.
+        best_saved = float("inf")
         since_best = 0
         lr_scale = 1.0
         last_save = -(10 ** 9)  # first improvement always saves
@@ -453,22 +496,23 @@ class Trainer:
             acc: Dict[str, Any] = {}
             nb = 0
             if dev_train is not None:
-                if self._train_step_cached is None:
+                key = ("train", id(dev_train))
+                if key not in self._cached_jits:
+                    gather = dev_train.make_gather(self._batch_sharding)
                     fn = self._train_step_fn
-                    bsh = self._batch_sharding
                     out_sh = state_sharding(self.mesh, state,
                                             self.config.mesh.model_axis)
 
                     def _train_cached(state, imgs, bxs, vld, idx, rng):
-                        c = lambda x: jax.lax.with_sharding_constraint(x, bsh)
-                        return fn(state, c(imgs[idx]), c(bxs[idx]),
-                                  c(vld[idx]), rng)
+                        ib, bb, vb = gather(imgs, bxs, vld, idx)
+                        return fn(state, ib, bb, vb, rng)
 
-                    self._train_step_cached = jax.jit(
+                    self._cached_jits[key] = jax.jit(
                         _train_cached, donate_argnums=(0,),
                         out_shardings=(out_sh, self._replicated))
+                train_step_cached = self._cached_jits[key]
                 for idx in dev_train.epoch_indices():
-                    state, metrics = self._train_step_cached(
+                    state, metrics = train_step_cached(
                         state, dev_train.images, dev_train.boxes,
                         dev_train.valid, jnp.asarray(idx), rng)
                     nb += 1
@@ -490,15 +534,22 @@ class Trainer:
 
             logs = dict(train_metrics)
             if val_ds is not None:
-                val = (self._run_validation_cached(state, dev_val, with_map=False)
+                # Single-pass validation: ONE forward per val image per
+                # epoch. On epochs where the mAP policy might fire, the pass
+                # stashes (y_true, y_pred) device refs; the improved-or-
+                # every-10 decision (which needs the loss) then feeds the
+                # mAP accumulator from the stash instead of re-running the
+                # whole forward pass (the round-2 behavior).
+                maybe_map = (epoch + 1) > cfg.train.map_eval_start_epoch
+                stash = [] if maybe_map else None
+                val = (self._run_validation_cached(state, dev_val,
+                                                   with_map=False, stash=stash)
                        if dev_val is not None else
-                       self._run_validation(state, val_ds, with_map=False))
+                       self._run_validation(state, val_ds, with_map=False,
+                                            stash=stash))
                 improved = val["val_loss"] < best
                 if self._should_eval_map(epoch, improved):
-                    val.update(
-                        self._run_validation_cached(state, dev_val, with_map=True)
-                        if dev_val is not None else
-                        self._run_validation(state, val_ds, with_map=True))
+                    val["val_mAP"] = self._map_from_stash(stash)
                 logs.update(val)
                 if improved:
                     best = val["val_loss"]
@@ -522,10 +573,12 @@ class Trainer:
                 # last_save is ever silently lost.
                 cooldown = getattr(cfg.train, "save_cooldown_epochs", 0)
                 last_monitor = val["val_loss"]
-                if improved and epoch - last_save >= cooldown:
+                if (val["val_loss"] < best_saved
+                        and epoch - last_save >= cooldown):
                     self.ckpt.save(epoch, jax.device_get(state),
                                    {"val_loss": val["val_loss"]})
                     last_save = epoch
+                    best_saved = val["val_loss"]
             else:
                 last_monitor = train_metrics["total"]
 

@@ -142,6 +142,55 @@ def test_augment_identity_when_disabled():
     np.testing.assert_allclose(np.asarray(out_boxes), boxes, atol=1e-5)
 
 
+def test_augment_out_size_crop_fidelity():
+    """The crop-fidelity path (DataConfig.train_decode_size): feeding a
+    higher-resolution decode with ``out_size`` set to the model resolution
+    yields IDENTICAL crop-window/box geometry (all window math is in relative
+    units off the same key stream) and images that match the low-res path up
+    to resampling error — while sampling at/above target resolution like
+    Albumentations' crop-the-original (ref dataset.py:139)."""
+    rng = np.random.RandomState(7)
+    hi = rng.randint(0, 255, size=(3, 112, 112, 3), dtype=np.uint8)
+    # the low-res path sees the SAME content pre-downsampled (the status quo)
+    lo = np.stack([
+        np.asarray(jax.image.resize(jnp.asarray(im, jnp.float32), (56, 56, 3),
+                                    "linear"))
+        for im in hi]).clip(0, 255).astype(np.uint8)
+    boxes = np.zeros((3, 8, 5), np.float32)
+    boxes[:, 0] = [0.5, 0.55, 0.4, 0.3, 2.0]
+    boxes[:, 1] = [0.2, 0.2, 0.15, 0.2, 5.0]
+    valid = np.zeros((3, 8), bool)
+    valid[:, :2] = True
+    key = jax.random.PRNGKey(11)
+    kw = dict(hflip_prob=0.5, color_strengths=(0.0,) * 4,
+              crop_scale=(0.8, 1.0), crop_ratio=(0.75, 4 / 3),
+              min_visibility=0.1)
+    hi_img, hi_boxes, hi_valid = augment_batch(
+        jnp.asarray(hi), jnp.asarray(boxes), jnp.asarray(valid), key,
+        out_size=56, **kw)
+    lo_img, lo_boxes, lo_valid = augment_batch(
+        jnp.asarray(lo), jnp.asarray(boxes), jnp.asarray(valid), key,
+        out_size=56, **kw)
+    assert hi_img.shape == (3, 56, 56, 3)
+    # identical geometry: same windows -> same boxes/validity, exactly
+    np.testing.assert_array_equal(np.asarray(hi_valid), np.asarray(lo_valid))
+    np.testing.assert_allclose(np.asarray(hi_boxes), np.asarray(lo_boxes),
+                               atol=1e-6)
+    # same content up to resampling error
+    diff = np.abs(np.asarray(hi_img) - np.asarray(lo_img)).mean()
+    assert diff < 0.08, diff
+
+
+def test_train_decode_size_validation():
+    from keras_object_detection_tpu.config import DataConfig
+
+    d = DataConfig(train_decode_size=501)
+    assert d.train_input_size(448) == 501
+    assert DataConfig().train_input_size(448) == 448
+    with pytest.raises(ValueError, match="train_decode_size"):
+        DataConfig(train_decode_size=224).train_input_size(448)
+
+
 def test_augment_crop_drops_low_visibility():
     # box at the far corner; a centered tight crop must drop it
     images = np.zeros((1, 64, 64, 3), np.uint8)
@@ -217,3 +266,64 @@ def test_device_cached_dataset_size_guard(data_dir):
     ds = YoloDataset(data_dir, 50000, 2, max_boxes=4)  # ~37 GB of uint8
     with pytest.raises(ValueError, match="too large for HBM"):
         DeviceCachedDataset(ds)
+
+
+def test_device_cache_guard_layout_aware(data_dir):
+    """The guard budgets PER DEVICE: a dataset too big replicated on a dp
+    mesh suggests the sharded layout; a dataset too big even per-shard still
+    raises (pointing at the disk cache)."""
+    from keras_object_detection_tpu.data.pipeline import DeviceCachedDataset
+    from keras_object_detection_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    ds = YoloDataset(data_dir, 50000, 2, max_boxes=4)  # ~45 GB replicated
+    with pytest.raises(ValueError, match="sharded"):
+        DeviceCachedDataset(ds, mesh=mesh, layout="replicated")
+    ds_huge = YoloDataset(data_dir, 120000, 2, max_boxes=4)  # ~65 GB/shard
+    with pytest.raises(ValueError, match="cache_dir"):
+        DeviceCachedDataset(ds_huge, mesh=mesh, layout="sharded")
+
+
+def test_device_cache_sharded_gather_bit_parity(data_dir):
+    """Sharded layout (rows sharded over the data axis, shard_map +
+    psum_scatter gather): per-device memory is dataset/dp, and gathered
+    batches are BIT-IDENTICAL to both the host loader and the replicated
+    layout across a shuffled epoch (shared shuffle stream, same padding)."""
+    from keras_object_detection_tpu.data.pipeline import DeviceCachedDataset
+    from keras_object_detection_tpu.parallel.mesh import (batch_sharding,
+                                                          create_mesh)
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    mk = lambda: YoloDataset(data_dir, 64, 4, max_boxes=4, shuffle=True,
+                             seed=7)
+    host = mk()
+    sharded = DeviceCachedDataset(mk(), mesh=mesh, layout="sharded")
+    replicated = DeviceCachedDataset(mk(), mesh=mesh, layout="replicated")
+
+    # per-device shard holds n_rows/dp rows (the whole point of the layout)
+    assert sharded.n_rows % 4 == 0
+    shard_rows = {s.data.shape[0] for s in sharded.images.addressable_shards}
+    assert shard_rows == {sharded.n_rows // 4}
+    repl_rows = {s.data.shape[0]
+                 for s in replicated.images.addressable_shards}
+    assert repl_rows == {replicated.n_rows}
+
+    bsh = batch_sharding(mesh)
+    g_s = jax.jit(sharded.make_gather(bsh))
+    g_r = jax.jit(replicated.make_gather(bsh))
+    for _ in range(2):  # two epochs: shuffle stream stays in lockstep
+        for (hi, hb, hv), idx_s, idx_r in zip(
+                host.epoch(), sharded.epoch_indices(),
+                replicated.epoch_indices()):
+            np.testing.assert_array_equal(idx_s, idx_r)
+            si, sb, sv = g_s(sharded.images, sharded.boxes, sharded.valid,
+                             jnp.asarray(idx_s))
+            ri, rb, rv = g_r(replicated.images, replicated.boxes,
+                             replicated.valid, jnp.asarray(idx_r))
+            for got in (si, ri):
+                np.testing.assert_array_equal(np.asarray(got), hi)
+            for got in (sb, rb):
+                np.testing.assert_array_equal(np.asarray(got), hb)
+            for got in (sv, rv):
+                np.testing.assert_array_equal(np.asarray(got), hv)
+            assert si.sharding.is_equivalent_to(bsh, si.ndim)

@@ -60,7 +60,8 @@ def test_reduce_on_plateau_scales_lr(tmp_path):
                                             devices=jax.devices()[:1]),
                       use_tensorboard=False)
     # Script a flat val_loss so the plateau logic is deterministic.
-    trainer._run_validation = lambda state, ds_, with_map: {"val_loss": 100.0}
+    trainer._run_validation = (
+        lambda state, ds_, with_map, stash=None: {"val_loss": 100.0})
     trainer.fit(ds, ds, epochs=4, reduce_on_plateau=(0.5, 1, 1e-12),
                 verbose=False)
     import json

@@ -402,6 +402,110 @@ def test_device_cache_data_parallel_matches_single(tmp_path, data_dir):
                                atol=1e-3)
 
 
+def test_device_cache_sharded_matches_replicated(tmp_path, data_dir):
+    """device_cache_layout='sharded' on a DP mesh (rows sharded over the
+    data axis, psum_scatter batch assembly) trains bit-comparably to the
+    replicated layout: the gathers produce identical batches, so the whole
+    trajectory must agree to float tolerance."""
+    import dataclasses
+
+    def run(layout, sub):
+        cfg = _tiny_config(str(tmp_path / sub), image_size=56, batch_size=4)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                      image_size=56),
+            data=dataclasses.replace(cfg.data, batch_size=4,
+                                     device_cache=True,
+                                     device_cache_layout=layout),
+        )
+        ds = YoloDataset(data_dir, 56, 4, max_boxes=8, shuffle=True, seed=0)
+        val = YoloDataset(data_dir, 56, 4, max_boxes=8)
+        trainer = Trainer(cfg, mesh=create_mesh(data_parallel=4,
+                                                devices=jax.devices()[:4]),
+                          use_tensorboard=False)
+        state = trainer.fit(ds, val, epochs=2, verbose=False)
+        out = trainer._run_validation(state, val, with_map=False)
+        trainer.ckpt.close()
+        return out["val_loss"], state
+
+    loss_r, state_r = run("replicated", "repl")
+    loss_s, state_s = run("sharded", "shard")
+    np.testing.assert_allclose(loss_s, loss_r, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(state_r.params)[0]
+    b = jax.tree_util.tree_leaves(state_s.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_single_pass_validation_one_forward_per_image(tmp_path, data_dir):
+    """Validation runs ONE forward per val image per epoch even on epochs
+    that compute mAP: the loss pass stashes predictions and the mAP
+    accumulator replays the stash (no second dataset pass)."""
+    import dataclasses
+
+    cfg = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                  image_size=56),
+        train=dataclasses.replace(cfg.train, map_eval_start_epoch=0,
+                                  map_eval_every=1),
+    )
+    ds = YoloDataset(data_dir, 56, 2, max_boxes=8, shuffle=True)
+    val = YoloDataset(data_dir, 56, 2, max_boxes=8)
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                            devices=jax.devices()[:1]),
+                      use_tensorboard=False)
+    calls = []
+    orig = trainer._eval_step
+
+    def counting_eval_step(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    trainer._eval_step = counting_eval_step
+    logs = {}
+    orig_log = trainer.logger.log
+    trainer.logger.log = lambda e, l: (logs.setdefault(e, l), orig_log(e, l))
+    trainer.fit(ds, val, epochs=2, verbose=False)
+    trainer.ckpt.close()
+    # every epoch computed mAP (start=0, every=1) yet the eval step ran
+    # exactly once per val batch per epoch
+    assert all("val_mAP" in l for l in logs.values()), logs
+    assert len(calls) == 2 * len(val), (len(calls), len(val))
+
+
+def test_train_decode_size_end_to_end(tmp_path, data_dir):
+    """Crop-fidelity path through the Trainer: train images decoded ABOVE
+    model resolution (train_decode_size), augment emits model-resolution
+    batches; works on both the host loader and the device cache."""
+    import dataclasses
+
+    for sub, device_cache in (("host", False), ("cached", True)):
+        cfg = _tiny_config(str(tmp_path / sub), image_size=56, batch_size=2)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                      image_size=56),
+            data=dataclasses.replace(cfg.data, batch_size=2,
+                                     train_decode_size=72,
+                                     device_cache=device_cache),
+        )
+        decode = cfg.data.train_input_size(cfg.model.image_size)
+        assert decode == 72
+        ds = YoloDataset(data_dir, decode, 2, max_boxes=8, shuffle=True,
+                         seed=0)
+        val = YoloDataset(data_dir, 56, 2, max_boxes=8)
+        trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                                devices=jax.devices()[:1]),
+                          use_tensorboard=False)
+        state = trainer.fit(ds, val, epochs=1, verbose=False)
+        out = trainer._run_validation(state, val, with_map=False)
+        trainer.ckpt.close()
+        assert np.isfinite(out["val_loss"])
+
+
 def test_save_cooldown_throttles_checkpoints(tmp_path, data_dir):
     """save_cooldown_epochs: with a cooldown larger than the run, only the
     first improvement and the final epoch are serialized."""

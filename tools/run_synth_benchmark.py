@@ -39,6 +39,27 @@ def main():
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--backbone", default="darknet_tiny")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decode-size", type=int, default=None,
+                   help="decode train images at this resolution (above "
+                        "--image-size) so the crop never upsamples, e.g. "
+                        "501 for 448 (DataConfig.train_decode_size)")
+    p.add_argument("--schedule", default="constant",
+                   choices=["constant", "cosine_restarts", "piecewise_warmup"],
+                   help="LR schedule kind (train/schedules.py); base_lr=--lr")
+    p.add_argument("--t-max", type=int, default=50,
+                   help="cosine_restarts: first cycle length (epochs)")
+    p.add_argument("--t-mult", type=int, default=2,
+                   help="cosine_restarts: cycle-length multiplier per restart")
+    p.add_argument("--decay", type=float, default=1.0,
+                   help="cosine_restarts: eta_max decay per cycle")
+    p.add_argument("--eta-min", type=float, default=0.0,
+                   help="cosine_restarts: floor LR")
+    p.add_argument("--warmup-epochs", type=int, default=75,
+                   help="piecewise_warmup: linear ramp length (ref train.py:129)")
+    p.add_argument("--mid-epochs", type=int, default=105)
+    p.add_argument("--warmup-target", type=float, default=0.01)
+    p.add_argument("--mid-lr", type=float, default=1e-3)
+    p.add_argument("--final-lr", type=float, default=1e-4)
     p.add_argument("--plateau", default="0.5,15,1e-5",
                    help="reduce-on-plateau 'factor,patience,min_lr' ('' = off)")
     p.add_argument("--ema", type=float, default=None,
@@ -84,10 +105,17 @@ def main():
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
             batch_size=args.batch_size, max_boxes_per_image=8,
-            cache_in_memory=True, device_cache=args.device_cache),
+            cache_in_memory=True, device_cache=args.device_cache,
+            train_decode_size=args.decode_size),
         train=TrainConfig(
             epochs=args.epochs, optimizer="adam",
-            schedule=ScheduleConfig(kind="constant", base_lr=args.lr),
+            schedule=ScheduleConfig(
+                kind=args.schedule, base_lr=args.lr,
+                t_max=args.t_max, t_mult=args.t_mult, decay=args.decay,
+                eta_min=args.eta_min,
+                warmup_epochs=args.warmup_epochs, mid_epochs=args.mid_epochs,
+                warmup_target=args.warmup_target, mid_lr=args.mid_lr,
+                final_lr=args.final_lr),
             # the paper's no-object term trains both box slots' confidences
             noobj_mode="all",
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
@@ -108,7 +136,8 @@ def main():
     with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    train_ds = YoloDataset(cfg.data.train_dir, args.image_size,
+    train_ds = YoloDataset(cfg.data.train_dir,
+                           cfg.data.train_input_size(args.image_size),
                            args.batch_size, max_boxes=8, shuffle=True,
                            seed=args.seed, cache_in_memory=True)
     val_ds = YoloDataset(cfg.data.val_dir, args.image_size, args.batch_size,
@@ -135,6 +164,12 @@ def main():
         batch_size=args.batch_size,
         images_per_s_train=round(
             args.epochs * train_ds.num_examples / train_wall, 1),
+        schedule=args.schedule,
+        schedule_params={
+            "base_lr": args.lr, "t_max": args.t_max, "t_mult": args.t_mult,
+            "decay": args.decay, "eta_min": args.eta_min}
+        if args.schedule == "cosine_restarts" else {"base_lr": args.lr},
+        plateau=args.plateau,
     )
     trainer.ckpt.close()
     with open(os.path.join(args.workdir, "results.json"), "w") as f:

@@ -60,6 +60,15 @@ def parse_args():
                    help="keep the whole dataset resident in device HBM and "
                         "gather batches on-device (replicated per device on "
                         "multi-device meshes)")
+    p.add_argument("--device-cache-layout",
+                   choices=["replicated", "sharded"],
+                   help="HBM layout of --device-cache on a multi-device "
+                        "mesh; 'sharded' = rows sharded over the data axis "
+                        "(per-device memory = dataset/dp)")
+    p.add_argument("--train-decode-size", type=int,
+                   help="decode train images at this resolution (above "
+                        "--image-size) so the random crop samples at or "
+                        "above target resolution, e.g. 501 for 448")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
@@ -94,7 +103,9 @@ def build_config(args):
                   test_dir=test_dir, batch_size=args.batch_size,
                   cache_in_memory=args.cache_in_memory or None,
                   cache_dir=args.cache_dir,
-                  device_cache=args.device_cache or None),
+                  device_cache=args.device_cache or None,
+                  device_cache_layout=args.device_cache_layout,
+                  train_decode_size=args.train_decode_size),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed),
@@ -119,7 +130,10 @@ def main():
     cache_sub = (lambda split: os.path.join(cfg.data.cache_dir, split)
                  if cfg.data.cache_dir else None)
     train_ds = YoloDataset(
-        cfg.data.train_dir, cfg.model.image_size, cfg.data.batch_size,
+        cfg.data.train_dir,
+        # crop-fidelity: train images may decode above model resolution
+        cfg.data.train_input_size(cfg.model.image_size),
+        cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image, shuffle=cfg.data.shuffle,
         drop_remainder=cfg.data.drop_remainder,
         num_workers=cfg.data.num_workers, seed=cfg.train.seed,
