@@ -30,9 +30,12 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
     Returns True when distributed mode is active. Safe to call on a single
     host (no-op) or twice (idempotent).
     """
-    already = jax.process_count() > 1
-    if already:
-        return True
+    # Probe WITHOUT touching the backend: jax.process_count() would
+    # initialize XLA, after which jax.distributed.initialize() refuses to
+    # run (verified by tests/test_distributed.py — the two-process test
+    # caught exactly this).
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator = coordinator_address or os.environ.get("KOT_COORDINATOR")
     if coordinator is None and num_processes is None:
         # Cloud TPU auto-detection: initialize() works with no args there.
