@@ -116,23 +116,21 @@ def main():
     map_val = metric.result()
     map_ms = (time.perf_counter() - t0) * 1000
 
-    # --- optional: int8-weight serving latency (KOT_BENCH_INT8=1) -----------
+    # --- optional: int8 serving latency (KOT_BENCH_INT8=1) ------------------
+    # True int8 path: BN-fold + s8xs8->s32 convs (export/int8_serving.py),
+    # compared at batch 1 and full batch against the float InferenceModel.
     int8_extras = {}
     if os.environ.get("KOT_BENCH_INT8") == "1":
-        from keras_object_detection_tpu.export.quantize import (
-            QuantizedInferenceModel)
+        from keras_object_detection_tpu.export.int8_serving import (
+            Int8InferenceModel)
 
-        qim = QuantizedInferenceModel(cfg, state.params, state.batch_stats)
-        qim.predict(np.asarray(images[:1]))  # compile
-        qtimes = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            b, v = qim.predict(np.asarray(images[:1]))
-            float(np.asarray(b).ravel()[0])
-            qtimes.append((time.perf_counter() - t0) * 1000)
-        qtimes.sort()
-        int8_extras["int8_serve_p50_ms_batch1"] = round(
-            qtimes[len(qtimes) // 2], 3)
+        qim = Int8InferenceModel(cfg, state.params, state.batch_stats)
+        qlat1 = qim.benchmark_latency(np.asarray(images[:1]), runs=10)
+        qlatb = qim.benchmark_latency(np.asarray(images), runs=10)
+        int8_extras["int8_serve_p50_ms_batch1"] = round(qlat1["p50_ms"], 3)
+        int8_extras["int8_serve_p50_ms_batch"] = round(qlatb["p50_ms"], 3)
+        int8_extras["int8_vs_float_batch1"] = round(
+            lat1["p50_ms"] / qlat1["p50_ms"], 2)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     baseline = json.load(open(baseline_path))

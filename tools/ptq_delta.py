@@ -33,6 +33,9 @@ def main():
                    help="run dir containing ckpt/ (with config.json)")
     p.add_argument("--data", required=True, help="validation YOLO-format dir")
     p.add_argument("--skip-litert", action="store_true")
+    p.add_argument("--int8-serving", action="store_true",
+                   help="also evaluate the true int8 serving path "
+                        "(BN-fold + s8xs8->s32 convs, export/int8_serving.py)")
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -83,8 +86,42 @@ def main():
     print(f"jax int8:  mAP {int8_eval['mAP']:.4f} "
           f"(weights {qbytes/1e6:.1f} MB vs {fbytes/1e6:.1f} MB f32)")
 
+    # --- true int8 serving (BN-fold + s8xs8->s32 convs) ---------------------
+    int8_serving_results = {}
+    if args.int8_serving:
+        from keras_object_detection_tpu.export.int8_serving import (
+            Int8InferenceModel)
+
+        im = Int8InferenceModel(cfg, jax.device_get(state.params),
+                                jax.device_get(state.batch_stats))
+        metric = MeanAveragePrecision(
+            cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
+            iou_threshold=cfg.eval.iou_threshold,
+            conf_threshold=cfg.eval.conf_threshold,
+            map_iou_threshold=cfg.eval.map_iou_threshold)
+        for bi, (images, boxes, valid) in enumerate(ds.epoch()):
+            real = min(len(images), ds.num_examples - bi * ds.batch_size)
+            images, boxes, valid = images[:real], boxes[:real], valid[:real]
+            y_true = jax.vmap(
+                lambda b, v: encode_grid(b, v, cfg.grid.num_classes,
+                                         cfg.grid.num_boxes, cfg.grid.grid)
+            )(jnp.asarray(boxes), jnp.asarray(valid))
+            metric.update_state(np.asarray(y_true),
+                                np.asarray(im.predict_raw(images)))
+        serving_map = metric.result()
+        fp = im.memory_footprint()
+        print(f"int8 serving: mAP {serving_map:.4f} "
+              f"(weights {fp['quantized_bytes']/1e6:.1f} MB vs "
+              f"{fp['float_bytes']/1e6:.1f} MB f32)")
+        int8_serving_results = {
+            "int8_serving_mAP": float(serving_map),
+            "int8_serving_delta": float(serving_map - float_eval["mAP"]),
+            "int8_serving_weight_mb": fp["quantized_bytes"] / 1e6,
+        }
+
     results = {
         "float_mAP": float(float_eval["mAP"]),
+        **int8_serving_results,
         "float_loss": float(float_eval["loss"]),
         "jax_int8_mAP": float(int8_eval["mAP"]),
         "jax_int8_delta": float(int8_eval["mAP"] - float_eval["mAP"]),
