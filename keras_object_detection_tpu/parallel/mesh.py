@@ -77,6 +77,13 @@ def state_sharding(mesh: Mesh, tree, model_axis: str = "model",
     Adam/EMA moments mirror the param shapes, so they pick up identical
     shardings by the same rule. With ``model_parallel=1`` the spec degrades
     to fully-replicated, so this is safe as the universal default.
+
+    SCAFFOLDING, not a perf feature for this model family: static HLO
+    analysis of the flagship train step (tools/tp_comm_analysis.py,
+    benchmarks/tp_comm_analysis.json) measures dp4xtp2 at +172 all-gathers /
+    +40.5 MB (+12.7%) per-device collective payload per step vs pure dp8,
+    while the 45M-param model fits a single chip trivially — run DP-only
+    (model_parallel=1) unless the model outgrows per-chip HBM.
     """
     def rule(x):
         if (hasattr(x, "ndim") and x.ndim >= 2
