@@ -33,6 +33,11 @@ def main():
                    help="decode-ahead disk cache dir for --data-dir eval")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
+    p.add_argument("--serving", choices=("float", "int8", "auto"),
+                   default="float",
+                   help="single-image serving path: float (default), true-"
+                        "int8 (BN-fold + s8 convs), or auto (measure both "
+                        "at batch 1 and serve the faster)")
     args = p.parse_args()
 
     import jax
@@ -69,7 +74,15 @@ def main():
                              "(train with TrainConfig.ema_decay)")
         params = state.ema_params
         print("serving EMA parameters")
-    model = InferenceModel(cfg, params, state.batch_stats)
+    if args.serving == "float":
+        model = InferenceModel(cfg, params, state.batch_stats)
+    else:
+        from keras_object_detection_tpu.export.int8_serving import (
+            select_serving_model)
+
+        model, info = select_serving_model(cfg, params, state.batch_stats,
+                                           mode=args.serving)
+        print(f"serving path: {info}")
 
     if args.image:
         img, _, _ = load_example(args.image, cfg.model.image_size,

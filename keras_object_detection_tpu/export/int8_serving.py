@@ -289,3 +289,42 @@ class Int8InferenceModel:
 
         return InferenceModel.benchmark_latency(self, images_u8, runs=runs,
                                                 staged=staged)
+
+
+def select_serving_model(config: Config, params: Any, batch_stats: Any,
+                         mode: str = "auto", probe_batch: int = 1,
+                         probe_runs: int = 5):
+    """Pick the serving path by MEASUREMENT, not hope.
+
+    Int8 must win or step aside: on the relay-attached bench chip the int8
+    path's batch-1 p50 measures 30.5 ms vs 25.1 ms float (both near the
+    ~25 ms per-dispatch RTT floor; ``KOT_BENCH_INT8=1 python bench.py``), so
+    defaulting to int8 would cost latency to save memory the serving host
+    may not need. ``mode="auto"`` builds BOTH fused models, times each at
+    ``probe_batch`` with the value-readback harness, and serves the faster;
+    ``"float"``/``"int8"`` force a path (int8 still wins 4x on weight HBM
+    residency — ``Int8InferenceModel.memory_footprint``).
+
+    Returns ``(model, info)`` where ``info`` records the decision and, for
+    auto, both measured p50s.
+    """
+    from keras_object_detection_tpu.eval.evaluator import InferenceModel
+
+    if mode == "float":
+        return InferenceModel(config, params, batch_stats), {"mode": "float"}
+    if mode == "int8":
+        return (Int8InferenceModel(config, params, batch_stats),
+                {"mode": "int8"})
+    if mode != "auto":
+        raise ValueError(f"serving mode {mode!r} not in float|int8|auto")
+
+    fmodel = InferenceModel(config, params, batch_stats)
+    qmodel = Int8InferenceModel(config, params, batch_stats)
+    size = config.model.image_size
+    probe = np.zeros((probe_batch, size, size, 3), np.uint8)
+    f_p50 = fmodel.benchmark_latency(probe, runs=probe_runs)["p50_ms"]
+    q_p50 = qmodel.benchmark_latency(probe, runs=probe_runs)["p50_ms"]
+    info = {"mode": "auto", "probe_batch": probe_batch,
+            "float_p50_ms": round(f_p50, 3), "int8_p50_ms": round(q_p50, 3),
+            "chosen": "int8" if q_p50 <= f_p50 else "float"}
+    return (qmodel if info["chosen"] == "int8" else fmodel), info
