@@ -189,3 +189,34 @@ def test_select_serving_model_modes():
 
     with pytest.raises(ValueError, match="float|int8|auto"):
         select_serving_model(cfg, params, batch_stats, mode="bogus")
+
+
+def test_int8_float_tail_mixed_precision():
+    """float_tail keeps the last N convs in f32: N=all reproduces the float
+    model bit-for-bit modulo BN folding (<=1e-4), intermediate N stays close,
+    and the footprint grows monotonically with N."""
+    from keras_object_detection_tpu.export.int8_serving import (
+        build_int8_layers)
+
+    cfg = _micro_cfg()
+    params, batch_stats = _trained_like_variables(cfg, seed=3)
+    images = np.random.RandomState(1).randint(0, 255, (2, 56, 56, 3),
+                                              np.uint8)
+    fm = InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+
+    plan, layers_all = build_int8_layers(cfg, params, batch_stats,
+                                         float_tail=999)
+    assert all("w" in l for l in layers_all)  # everything kept f32
+
+    qbytes = []
+    for tail in (0, 1, 999):
+        qm = Int8InferenceModel(cfg, params, batch_stats, float_tail=tail)
+        yq = np.asarray(qm.predict_raw(images), np.float32)
+        qbytes.append(qm.memory_footprint()["quantized_bytes"])
+        if tail == 999:
+            # all-f32 path == float model up to BN-fold arithmetic
+            np.testing.assert_allclose(yq, yf, atol=1e-3, rtol=1e-4)
+        else:
+            assert np.corrcoef(yf.ravel(), yq.ravel())[0, 1] > 0.995
+    assert qbytes[0] < qbytes[1] < qbytes[2]

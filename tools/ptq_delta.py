@@ -36,6 +36,9 @@ def main():
     p.add_argument("--int8-serving", action="store_true",
                    help="also evaluate the true int8 serving path "
                         "(BN-fold + s8xs8->s32 convs, export/int8_serving.py)")
+    p.add_argument("--int8-float-tail", type=int, default=0,
+                   help="keep the LAST N folded convs in f32 (mixed-"
+                        "precision sensitivity knob for --int8-serving)")
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -93,7 +96,8 @@ def main():
             Int8InferenceModel)
 
         im = Int8InferenceModel(cfg, jax.device_get(state.params),
-                                jax.device_get(state.batch_stats))
+                                jax.device_get(state.batch_stats),
+                                float_tail=args.int8_float_tail)
         metric = MeanAveragePrecision(
             cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
             iou_threshold=cfg.eval.iou_threshold,
@@ -117,6 +121,7 @@ def main():
             "int8_serving_mAP": float(serving_map),
             "int8_serving_delta": float(serving_map - float_eval["mAP"]),
             "int8_serving_weight_mb": fp["quantized_bytes"] / 1e6,
+            "int8_serving_float_tail": args.int8_float_tail,
         }
 
     results = {
