@@ -70,6 +70,11 @@ def main():
     p.add_argument("--save-cooldown", type=int, default=0,
                    help="min epochs between best-checkpoint saves (bounds "
                         "the ~10s/save device_get on big models)")
+    p.add_argument("--activation", default="relu",
+                   choices=("relu", "leaky_relu"),
+                   help="leaky_relu = the paper's LeakyReLU(0.1)")
+    p.add_argument("--box-loss", default="mse", choices=("mse", "diou"),
+                   help="diou = Distance-IoU box regression (beyond-parity)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="train with the fused Pallas loss kernel "
                         "(use_pallas_loss=True) — soak-test path")
@@ -100,7 +105,8 @@ def main():
     cfg = Config(
         grid=GridConfig(num_classes=args.num_classes),
         model=ModelConfig(backbone=args.backbone, head="conv",
-                          image_size=args.image_size),
+                          image_size=args.image_size,
+                          activation=args.activation),
         data=DataConfig(
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
@@ -118,6 +124,7 @@ def main():
                 final_lr=args.final_lr),
             # the paper's no-object term trains both box slots' confidences
             noobj_mode="all",
+            box_loss_mode=args.box_loss,
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
             log_dir=os.path.join(args.workdir, "logs"),
             map_eval_start_epoch=(args.map_start or args.epochs + 1),
@@ -165,6 +172,8 @@ def main():
         images_per_s_train=round(
             args.epochs * train_ds.num_examples / train_wall, 1),
         schedule=args.schedule,
+        activation=args.activation,
+        box_loss=args.box_loss,
         schedule_params={
             "base_lr": args.lr, "t_max": args.t_max, "t_mult": args.t_mult,
             "decay": args.decay, "eta_min": args.eta_min}
