@@ -123,6 +123,10 @@ class DataConfig:
     # RandomResizedCrop samples at or above target resolution, like
     # Albumentations cropping the original image then resizing once (ref
     # dataset.py:139). Eval datasets always decode at image_size.
+    # Measured A/B (benchmarks/crop_fidelity_ab.json): on 560²-source
+    # SYNTHETIC data the 501-decode arm is -0.11 mAP — the faithful crop is
+    # a strictly stronger augmentation with no photographic detail to pay it
+    # back; keep None there, re-evaluate on real photo datasets.
     train_decode_size: Optional[int] = None
 
     def train_input_size(self, image_size: int) -> int:
