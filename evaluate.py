@@ -31,6 +31,9 @@ def main():
     p.add_argument("--latency-runs", type=int, default=5)
     p.add_argument("--cache-dir",
                    help="decode-ahead disk cache dir for --data-dir eval")
+    p.add_argument("--coco-map", action="store_true",
+                   help="also report COCO-style mAP@[.50:.95] (per-threshold "
+                        "sweep; the reference only evaluates VOC mAP@0.5)")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
     p.add_argument("--serving", choices=("float", "int8", "auto"),
@@ -120,7 +123,8 @@ def main():
         # --use-ema is the single source of truth here, matching the
         # single-image path above (config eval_with_ema only governs
         # in-training validation).
-        results = Evaluator(cfg, use_ema=args.use_ema).evaluate(state, ds)
+        results = Evaluator(cfg, use_ema=args.use_ema).evaluate(
+            state, ds, coco_map=args.coco_map)
         print("evaluation:", {k: round(float(v), 5) for k, v in results.items()})
     ckpt.close()
 

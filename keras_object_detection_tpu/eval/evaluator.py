@@ -157,7 +157,12 @@ class Evaluator:
             map_iou_threshold=config.eval.map_iou_threshold)
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
-                 with_map: bool = True) -> Dict[str, float]:
+                 with_map: bool = True,
+                 coco_map: bool = False) -> Dict[str, float]:
+        """``coco_map``: additionally sweep mAP over the COCO IoU thresholds
+        0.50:0.05:0.95 (net-new vs the reference's single VOC mAP@0.5) —
+        reuses the already-accumulated decode+NMS box sets, so the extra cost
+        is one compiled matcher sweep, not another forward pass."""
         t0 = time.perf_counter()
         # Checkpoint-restored states are host numpy trees; without an
         # explicit device_put the jitted eval step re-uploads the full
@@ -168,10 +173,12 @@ class Evaluator:
         # semantics; see train.loop.run_dataset_eval)
         loss, map_val = run_dataset_eval(
             self.config, self._eval_step, self.map_metric, state, ds,
-            with_map=with_map)
+            with_map=with_map or coco_map)
         out = {"loss": loss}
         if with_map:
             out["mAP"] = map_val
+        if coco_map:
+            out.update(self.map_metric.result_multi())
         out["eval_time_s"] = time.perf_counter() - t0
         out["images_per_s"] = ds.num_examples / max(out["eval_time_s"], 1e-9)
         return out

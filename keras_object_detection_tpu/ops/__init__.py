@@ -3,6 +3,8 @@ from keras_object_detection_tpu.ops.nms import (  # noqa: F401
     non_max_suppression,
 )
 from keras_object_detection_tpu.ops.map import (  # noqa: F401
+    COCO_IOU_THRESHOLDS,
     MeanAveragePrecision,
     mean_average_precision,
+    mean_average_precision_multi,
 )

@@ -41,27 +41,25 @@ from keras_object_detection_tpu.ops.pallas_nms import (
 )
 
 
-@partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))
-def mean_average_precision(
+#: COCO-style IoU threshold sweep 0.50:0.05:0.95 (10 points). Net-new
+#: capability beyond the reference (which only evaluates VOC mAP@0.5).
+COCO_IOU_THRESHOLDS = tuple(round(0.50 + 0.05 * i, 2) for i in range(10))
+
+
+def _map_at_thresholds(
     true_boxes: jnp.ndarray,
     true_valid: jnp.ndarray,
     pred_boxes: jnp.ndarray,
     pred_valid: jnp.ndarray,
     num_classes: int,
-    iou_threshold: float = 0.5,
+    thresholds: tuple,
 ) -> jnp.ndarray:
-    """mAP@iou_threshold over padded per-image box sets.
+    """(T,) mAP values, one per IoU threshold, sharing one matcher pass.
 
-    Args:
-      true_boxes: ``(I, G, 6)`` ground truths per image,
-        ``[class_idx, confidence, cx, cy, w, h]`` (decode_grid/NMS layout).
-      true_valid: ``(I, G)`` bool mask of real GT rows.
-      pred_boxes: ``(I, D, 6)`` detections per image (NMS-compacted).
-      pred_valid: ``(I, D)`` bool mask of real detections.
-      num_classes: C; classes are ``0..C-1`` float ids in column 0.
-
-    Returns:
-      Scalar mAP, the mean of per-class APs (absent classes count as 0).
+    The IoU matrix, per-detection best-GT, and the global confidence ranking
+    do not depend on the threshold — only the TP candidacy test does — so the
+    sweep re-runs just the segment_min claim + PR integration per threshold
+    (each one cumsum-sized, negligible next to the (I, D, G) IoU).
     """
     num_images, max_gt, _ = true_boxes.shape
     _, max_det, _ = pred_boxes.shape
@@ -85,26 +83,9 @@ def mean_average_precision(
     rank_of = jnp.argsort(order, stable=True)  # rank per flat det index
     rank = rank_of.reshape(num_images, max_det)
 
-    # --- First-claimant-wins TP assignment via segment_min -----------------
-    cand = pred_valid & (best_iou > iou_threshold)
-    seg = jnp.where(
-        cand,
-        jnp.arange(num_images)[:, None] * max_gt + best_gt,
-        num_images * max_gt,  # park non-candidates in a spare segment
-    ).reshape(-1)
-    first_rank = jax.ops.segment_min(
-        rank.reshape(-1), seg, num_segments=num_images * max_gt + 1
-    )
-    tp = cand & (rank == first_rank[seg.reshape(num_images, max_det)].reshape(
-        num_images, max_det))
-    fp = pred_valid & ~tp
-
-    # --- Per-class PR curves over the globally sorted detection stream -----
-    tp_sorted = tp.reshape(-1)[order].astype(jnp.float32)  # (N,)
-    fp_sorted = fp.reshape(-1)[order].astype(jnp.float32)
+    # --- Shared per-class machinery -----------------------------------------
     cls_sorted = det_cls.reshape(-1)[order]
     valid_sorted = pred_valid.reshape(-1)[order]
-
     class_ids = jnp.arange(num_classes, dtype=det_cls.dtype)
 
     gt_cls_flat = jnp.where(true_valid, gt_cls, -1.0).reshape(-1)
@@ -113,29 +94,101 @@ def mean_average_precision(
     ).astype(jnp.float32)  # (C,)
 
     in_class = (cls_sorted[None, :] == class_ids[:, None]) & valid_sorted[None, :]  # (C, N)
-    tp_cum = jnp.cumsum(tp_sorted[None, :] * in_class, axis=-1)  # (C, N)
-    fp_cum = jnp.cumsum(fp_sorted[None, :] * in_class, axis=-1)
 
-    recalls = tp_cum / (total_true[:, None] + eps)  # (C, N)
-    # Rows where a detection is not in the class repeat the previous cumsums,
-    # so they repeat the previous PR point and contribute zero area — no
-    # compaction needed. The one exception is the prefix before a class's
-    # first detection (cumsums still 0): there the point must equal the
-    # prepended (r=0, p=1) start (ref utils.py:438-439), so clamp
-    # zero-denominator rows to precision 1.
-    precisions = jnp.where(
-        tp_cum + fp_cum > 0, tp_cum / (tp_cum + fp_cum + eps), 1.0)
-    recalls = jnp.concatenate([jnp.zeros((num_classes, 1)), recalls], axis=-1)
-    precisions = jnp.concatenate([jnp.ones((num_classes, 1)), precisions], axis=-1)
+    seg_base = jnp.arange(num_images)[:, None] * max_gt + best_gt  # (I, D)
 
-    ap = jnp.sum(
-        (recalls[:, 1:] - recalls[:, :-1])
-        * (precisions[:, 1:] + precisions[:, :-1])
-        / 2.0,
-        axis=-1,
-    )
-    ap = jnp.where(total_true > 0, ap, 0.0)  # absent class -> AP 0 (ref utils.py:334)
-    return jnp.mean(ap)
+    maps = []
+    for iou_threshold in thresholds:
+        # --- First-claimant-wins TP assignment via segment_min -------------
+        cand = pred_valid & (best_iou > iou_threshold)
+        seg = jnp.where(
+            cand, seg_base,
+            num_images * max_gt,  # park non-candidates in a spare segment
+        ).reshape(-1)
+        first_rank = jax.ops.segment_min(
+            rank.reshape(-1), seg, num_segments=num_images * max_gt + 1
+        )
+        tp = cand & (rank == first_rank[seg.reshape(num_images, max_det)].reshape(
+            num_images, max_det))
+        fp = pred_valid & ~tp
+
+        # --- Per-class PR curves over the globally sorted detection stream -
+        tp_sorted = tp.reshape(-1)[order].astype(jnp.float32)  # (N,)
+        fp_sorted = fp.reshape(-1)[order].astype(jnp.float32)
+
+        tp_cum = jnp.cumsum(tp_sorted[None, :] * in_class, axis=-1)  # (C, N)
+        fp_cum = jnp.cumsum(fp_sorted[None, :] * in_class, axis=-1)
+
+        recalls = tp_cum / (total_true[:, None] + eps)  # (C, N)
+        # Rows where a detection is not in the class repeat the previous
+        # cumsums, so they repeat the previous PR point and contribute zero
+        # area — no compaction needed. The one exception is the prefix before
+        # a class's first detection (cumsums still 0): there the point must
+        # equal the prepended (r=0, p=1) start (ref utils.py:438-439), so
+        # clamp zero-denominator rows to precision 1.
+        precisions = jnp.where(
+            tp_cum + fp_cum > 0, tp_cum / (tp_cum + fp_cum + eps), 1.0)
+        recalls = jnp.concatenate([jnp.zeros((num_classes, 1)), recalls], axis=-1)
+        precisions = jnp.concatenate(
+            [jnp.ones((num_classes, 1)), precisions], axis=-1)
+
+        ap = jnp.sum(
+            (recalls[:, 1:] - recalls[:, :-1])
+            * (precisions[:, 1:] + precisions[:, :-1])
+            / 2.0,
+            axis=-1,
+        )
+        ap = jnp.where(total_true > 0, ap, 0.0)  # absent class -> AP 0 (ref utils.py:334)
+        maps.append(jnp.mean(ap))
+    return jnp.stack(maps)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))
+def mean_average_precision(
+    true_boxes: jnp.ndarray,
+    true_valid: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """mAP@iou_threshold over padded per-image box sets.
+
+    Args:
+      true_boxes: ``(I, G, 6)`` ground truths per image,
+        ``[class_idx, confidence, cx, cy, w, h]`` (decode_grid/NMS layout).
+      true_valid: ``(I, G)`` bool mask of real GT rows.
+      pred_boxes: ``(I, D, 6)`` detections per image (NMS-compacted).
+      pred_valid: ``(I, D)`` bool mask of real detections.
+      num_classes: C; classes are ``0..C-1`` float ids in column 0.
+
+    Returns:
+      Scalar mAP, the mean of per-class APs (absent classes count as 0).
+    """
+    return _map_at_thresholds(
+        true_boxes, true_valid, pred_boxes, pred_valid, num_classes,
+        (iou_threshold,))[0]
+
+
+@partial(jax.jit, static_argnames=("num_classes", "thresholds"))
+def mean_average_precision_multi(
+    true_boxes: jnp.ndarray,
+    true_valid: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    num_classes: int,
+    thresholds: tuple = COCO_IOU_THRESHOLDS,
+) -> jnp.ndarray:
+    """(T,) mAP at each IoU threshold in ONE compiled program.
+
+    ``jnp.mean`` of the default sweep is the COCO-style mAP@[.50:.95]
+    headline number — a beyond-parity capability (the reference computes
+    only VOC mAP@0.5); per-threshold matching is independent greedy
+    matching, exactly as pycocotools does it.
+    """
+    return _map_at_thresholds(
+        true_boxes, true_valid, pred_boxes, pred_valid, num_classes,
+        tuple(thresholds))
 
 
 class MeanAveragePrecision:
@@ -222,3 +275,31 @@ class MeanAveragePrecision:
                 self._map_iou_threshold,
             )
         )
+
+    def result_multi(self, thresholds: tuple = COCO_IOU_THRESHOLDS) -> dict:
+        """Per-threshold mAPs + their mean, in one compiled sweep.
+
+        Returns ``{"mAP@0.50": ..., ..., "mAP@[.50:.95]": mean}`` — the
+        COCO-style headline metric (net-new vs the reference, which only
+        evaluates VOC mAP@0.5). The accumulated decode+NMS box sets are
+        threshold-independent, so this reuses them as-is.
+        """
+        thresholds = tuple(thresholds)
+        if not self._true:
+            out = {f"mAP@{t:.2f}": 0.0 for t in thresholds}
+            out["mAP@[.50:.95]" if thresholds == COCO_IOU_THRESHOLDS
+                else "mAP@mean"] = 0.0
+            return out
+        vals = mean_average_precision_multi(
+            jnp.concatenate(self._true),
+            jnp.concatenate(self._tvalid),
+            jnp.concatenate(self._pred),
+            jnp.concatenate(self._pvalid),
+            self._num_classes,
+            thresholds,
+        )
+        vals = np.asarray(vals)
+        out = {f"mAP@{t:.2f}": float(v) for t, v in zip(thresholds, vals)}
+        out["mAP@[.50:.95]" if thresholds == COCO_IOU_THRESHOLDS
+            else "mAP@mean"] = float(vals.mean())
+        return out

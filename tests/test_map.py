@@ -5,7 +5,12 @@ the loop-free TP assignment."""
 import numpy as np
 import jax.numpy as jnp
 
-from keras_object_detection_tpu.ops.map import MeanAveragePrecision, mean_average_precision
+from keras_object_detection_tpu.ops.map import (
+    COCO_IOU_THRESHOLDS,
+    MeanAveragePrecision,
+    mean_average_precision,
+    mean_average_precision_multi,
+)
 
 
 def test_map_matches_reference_goldens(goldens):
@@ -78,3 +83,53 @@ def test_map_low_iou_is_fp():
         jnp.asarray(gt)[None], jnp.asarray(gt_v)[None],
         jnp.asarray(det)[None], jnp.asarray(det_v)[None], num_classes=1))
     assert np.isclose(val, 0.0, atol=1e-4)
+
+
+def test_map_multi_matches_per_threshold_singles():
+    # The COCO sweep must be EXACTLY the single-threshold matcher run at each
+    # threshold (per-threshold independent greedy matching, pycocotools-style).
+    rng = np.random.RandomState(7)
+    gts, gvs, dets, dvs = [], [], [], []
+    for _ in range(6):
+        g, gv = _pad(
+            [[float(rng.randint(3)), 1.0, *rng.uniform(0.2, 0.8, 2),
+              *rng.uniform(0.05, 0.3, 2)] for _ in range(rng.randint(1, 4))], 5)
+        # detections: jittered copies of the GTs + one random box
+        rows = [r.copy() for r in g[gv]]
+        for r in rows:
+            r[1] = rng.uniform(0.3, 1.0)
+            r[2:6] += rng.uniform(-0.05, 0.05, 4)
+        rows.append([float(rng.randint(3)), rng.uniform(0.3, 1.0),
+                     *rng.uniform(0.2, 0.8, 2), *rng.uniform(0.05, 0.3, 2)])
+        d, dv = _pad(rows, 5)
+        gts.append(g), gvs.append(gv), dets.append(d), dvs.append(dv)
+    gt, gv = jnp.asarray(np.stack(gts)), jnp.asarray(np.stack(gvs))
+    dt, dv = jnp.asarray(np.stack(dets)), jnp.asarray(np.stack(dvs))
+
+    sweep = np.asarray(mean_average_precision_multi(gt, gv, dt, dv, 3))
+    assert sweep.shape == (len(COCO_IOU_THRESHOLDS),)
+    for t, got in zip(COCO_IOU_THRESHOLDS, sweep):
+        want = float(mean_average_precision(gt, gv, dt, dv, 3, t))
+        assert np.isclose(got, want, atol=1e-6), (t, got, want)
+    # mAP is non-increasing in the IoU threshold
+    assert np.all(np.diff(sweep) <= 1e-6)
+
+
+def test_accumulator_result_multi():
+    rng = np.random.RandomState(0)
+    metric = MeanAveragePrecision(3, 2)
+    yt = np.zeros((2, 7, 7, 13), np.float32)
+    for b in range(2):
+        for _ in range(3):
+            i, j = rng.randint(7), rng.randint(7)
+            yt[b, i, j, rng.randint(3)] = 1
+            yt[b, i, j, 3] = 1
+            yt[b, i, j, 4:8] = rng.uniform([0, 0, 0.05, 0.05], [1, 1, 0.5, 0.5])
+    yp = (0.8 * yt + 0.3 * rng.uniform(-0.2, 1, yt.shape)).astype(np.float32)
+    metric.update_state(yt, yp)
+    multi = metric.result_multi()
+    assert np.isclose(multi["mAP@0.50"], metric.result(), atol=1e-6)
+    assert np.isclose(
+        multi["mAP@[.50:.95]"],
+        np.mean([multi[f"mAP@{t:.2f}"] for t in COCO_IOU_THRESHOLDS]),
+        atol=1e-6)
