@@ -34,6 +34,10 @@ def main():
     p.add_argument("--coco-map", action="store_true",
                    help="also report COCO-style mAP@[.50:.95] (per-threshold "
                         "sweep; the reference only evaluates VOC mAP@0.5)")
+    p.add_argument("--per-class-ap", action="store_true",
+                   help="also print the per-class AP breakdown (labels from "
+                        "--names when given; the reference reduces straight "
+                        "to the mean, ref utils.py:455-456)")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
     p.add_argument("--serving", choices=("float", "int8", "auto"),
@@ -123,9 +127,17 @@ def main():
         # --use-ema is the single source of truth here, matching the
         # single-image path above (config eval_with_ema only governs
         # in-training validation).
-        results = Evaluator(cfg, use_ema=args.use_ema).evaluate(
-            state, ds, coco_map=args.coco_map)
+        evaluator = Evaluator(cfg, use_ema=args.use_ema)
+        results = evaluator.evaluate(state, ds, coco_map=args.coco_map)
         print("evaluation:", {k: round(float(v), 5) for k, v in results.items()})
+        if args.per_class_ap:
+            names = ([x.strip() for x in open(args.names)]
+                     if args.names else None)
+            aps = evaluator.map_metric.result_per_class()
+            print("per-class AP@%.2f:" % cfg.eval.map_iou_threshold)
+            for c, ap in enumerate(aps):
+                label = names[c] if names and c < len(names) else str(c)
+                print(f"  {label:>16s}  {ap:.4f}")
     ckpt.close()
 
 

@@ -54,7 +54,8 @@ def _map_at_thresholds(
     num_classes: int,
     thresholds: tuple,
 ) -> jnp.ndarray:
-    """(T,) mAP values, one per IoU threshold, sharing one matcher pass.
+    """(T, C) per-class AP values, one row per IoU threshold, sharing one
+    matcher pass (mean over the class axis is the mAP at that threshold).
 
     The IoU matrix, per-detection best-GT, and the global confidence ranking
     do not depend on the threshold — only the TP candidacy test does — so the
@@ -97,7 +98,7 @@ def _map_at_thresholds(
 
     seg_base = jnp.arange(num_images)[:, None] * max_gt + best_gt  # (I, D)
 
-    maps = []
+    aps = []
     for iou_threshold in thresholds:
         # --- First-claimant-wins TP assignment via segment_min -------------
         cand = pred_valid & (best_iou > iou_threshold)
@@ -139,8 +140,8 @@ def _map_at_thresholds(
             axis=-1,
         )
         ap = jnp.where(total_true > 0, ap, 0.0)  # absent class -> AP 0 (ref utils.py:334)
-        maps.append(jnp.mean(ap))
-    return jnp.stack(maps)
+        aps.append(ap)
+    return jnp.stack(aps)
 
 
 @partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))
@@ -165,9 +166,9 @@ def mean_average_precision(
     Returns:
       Scalar mAP, the mean of per-class APs (absent classes count as 0).
     """
-    return _map_at_thresholds(
+    return jnp.mean(_map_at_thresholds(
         true_boxes, true_valid, pred_boxes, pred_valid, num_classes,
-        (iou_threshold,))[0]
+        (iou_threshold,))[0])
 
 
 @partial(jax.jit, static_argnames=("num_classes", "thresholds"))
@@ -186,9 +187,27 @@ def mean_average_precision_multi(
     only VOC mAP@0.5); per-threshold matching is independent greedy
     matching, exactly as pycocotools does it.
     """
+    return jnp.mean(_map_at_thresholds(
+        true_boxes, true_valid, pred_boxes, pred_valid, num_classes,
+        tuple(thresholds)), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "iou_threshold"))
+def average_precision_per_class(
+    true_boxes: jnp.ndarray,
+    true_valid: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """(C,) per-class AP@iou_threshold — the vector ``mean_average_precision``
+    averages (absent classes report AP 0, ref utils.py:334). Net-new surface:
+    the reference throws the per-class breakdown away (ref utils.py:455-456
+    reduces to the mean immediately); exposing it costs nothing extra."""
     return _map_at_thresholds(
         true_boxes, true_valid, pred_boxes, pred_valid, num_classes,
-        tuple(thresholds))
+        (iou_threshold,))[0]
 
 
 class MeanAveragePrecision:
@@ -303,3 +322,21 @@ class MeanAveragePrecision:
         out["mAP@[.50:.95]" if thresholds == COCO_IOU_THRESHOLDS
             else "mAP@mean"] = float(vals.mean())
         return out
+
+    def result_per_class(self, iou_threshold: float = None) -> np.ndarray:
+        """(C,) per-class AP at ``iou_threshold`` (default: the accumulator's
+        mAP threshold) over the accumulated box sets. ``result()`` is this
+        vector's mean; the reference never exposes it (ref utils.py:455-456)."""
+        if not self._true:
+            return np.zeros(self._num_classes, np.float32)
+        return np.asarray(
+            average_precision_per_class(
+                jnp.concatenate(self._true),
+                jnp.concatenate(self._tvalid),
+                jnp.concatenate(self._pred),
+                jnp.concatenate(self._pvalid),
+                self._num_classes,
+                self._map_iou_threshold if iou_threshold is None
+                else iou_threshold,
+            )
+        )

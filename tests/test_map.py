@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from keras_object_detection_tpu.ops.map import (
     COCO_IOU_THRESHOLDS,
     MeanAveragePrecision,
+    average_precision_per_class,
     mean_average_precision,
     mean_average_precision_multi,
 )
@@ -133,3 +134,35 @@ def test_accumulator_result_multi():
         multi["mAP@[.50:.95]"],
         np.mean([multi[f"mAP@{t:.2f}"] for t in COCO_IOU_THRESHOLDS]),
         atol=1e-6)
+
+
+def test_per_class_ap_breakdown():
+    # class 0 perfectly detected, class 1 absent -> AP [1, 0]; the mean is
+    # exactly mean_average_precision's scalar.
+    gt, gt_v = _pad([[0.0, 1.0, 0.5, 0.5, 0.2, 0.2]], 4)
+    det, det_v = _pad([[0.0, 0.9, 0.5, 0.5, 0.2, 0.2]], 4)
+    args = (jnp.asarray(gt)[None], jnp.asarray(gt_v)[None],
+            jnp.asarray(det)[None], jnp.asarray(det_v)[None])
+    aps = np.asarray(average_precision_per_class(*args, num_classes=2))
+    assert aps.shape == (2,)
+    assert np.allclose(aps, [1.0, 0.0], atol=1e-4)
+    assert np.isclose(aps.mean(),
+                      float(mean_average_precision(*args, num_classes=2)),
+                      atol=1e-6)
+
+
+def test_accumulator_result_per_class():
+    rng = np.random.RandomState(3)
+    metric = MeanAveragePrecision(3, 2)
+    yt = np.zeros((2, 7, 7, 13), np.float32)
+    for b in range(2):
+        for _ in range(3):
+            i, j = rng.randint(7), rng.randint(7)
+            yt[b, i, j, rng.randint(3)] = 1
+            yt[b, i, j, 3] = 1
+            yt[b, i, j, 4:8] = rng.uniform([0, 0, 0.05, 0.05], [1, 1, 0.5, 0.5])
+    yp = (0.8 * yt + 0.3 * rng.uniform(-0.2, 1, yt.shape)).astype(np.float32)
+    metric.update_state(yt, yp)
+    aps = metric.result_per_class()
+    assert aps.shape == (3,)
+    assert np.isclose(aps.mean(), metric.result(), atol=1e-6)
