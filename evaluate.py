@@ -34,6 +34,10 @@ def main():
     p.add_argument("--coco-map", action="store_true",
                    help="also report COCO-style mAP@[.50:.95] (per-threshold "
                         "sweep; the reference only evaluates VOC mAP@0.5)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="evaluate the dataset data-parallel over this many "
+                        "chips (-1 = all; batches land sharded over the mesh "
+                        "data axis, parameters replicate)")
     p.add_argument("--per-class-ap", action="store_true",
                    help="also print the per-class AP breakdown (labels from "
                         "--names when given; the reference reduces straight "
@@ -127,7 +131,17 @@ def main():
         # --use-ema is the single source of truth here, matching the
         # single-image path above (config eval_with_ema only governs
         # in-training validation).
-        evaluator = Evaluator(cfg, use_ema=args.use_ema)
+        mesh = None
+        if args.data_parallel != 1:
+            import jax
+
+            from keras_object_detection_tpu.parallel.mesh import create_mesh
+
+            # N > 0 takes the first N chips; -1 takes them all.
+            devs = (jax.devices() if args.data_parallel == -1
+                    else jax.devices()[:args.data_parallel])
+            mesh = create_mesh(data_parallel=len(devs), devices=devs)
+        evaluator = Evaluator(cfg, use_ema=args.use_ema, mesh=mesh)
         results = evaluator.evaluate(state, ds, coco_map=args.coco_map)
         print("evaluation:", {k: round(float(v), 5) for k, v in results.items()})
         if args.per_class_ap:

@@ -143,13 +143,32 @@ class Evaluator:
     """Dataset-level loss + mAP evaluation (ref train.py CustomCallback
     ``_calculate_map`` + post-fit test loop, without the 'It takes sometime')."""
 
-    def __init__(self, config: Config, use_ema: bool = None):
+    def __init__(self, config: Config, use_ema: bool = None, mesh=None):
         """``use_ema``: None = follow config (ema_decay + eval_with_ema);
         True/False = explicit override, e.g. the CLI ``--use-ema`` flag —
         keeps the dataset path consistent with the single-image
-        ``InferenceModel`` path, which always obeys the flag."""
+        ``InferenceModel`` path, which always obeys the flag.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — batches land sharded over
+        its data axis and the forward runs data-parallel across all chips
+        (the in-training validation path already does this; this extends it
+        to standalone evaluation). The batch size must divide by the data
+        axis. ``None`` keeps the single-device path."""
         self.config = config
         self._eval_step = jax.jit(make_eval_step(config, use_ema=use_ema))
+        self._batch_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from keras_object_detection_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding)
+
+            dp = mesh.shape[config.mesh.data_axis]
+            if config.data.batch_size % dp:
+                raise ValueError(
+                    f"eval batch size {config.data.batch_size} must divide "
+                    f"by the data-parallel mesh size {dp}")
+            self._batch_sharding = batch_sharding(mesh, config.mesh.data_axis)
+            self._replicated = replicated_sharding(mesh)
         self.map_metric = MeanAveragePrecision(
             config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
             iou_threshold=config.eval.iou_threshold,
@@ -167,13 +186,15 @@ class Evaluator:
         # Checkpoint-restored states are host numpy trees; without an
         # explicit device_put the jitted eval step re-uploads the full
         # weight set EVERY batch (~73 MB/s through the relay). No-op when
-        # the state already lives on device (the in-training path).
-        state = jax.device_put(state)
+        # the state already lives on device (the in-training path). On a
+        # mesh, parameters replicate across chips while batches shard over
+        # the data axis (GSPMD partitions the forward from the shardings).
+        state = jax.device_put(state, self._replicated)
         # shared masked-eval pass (single source of the padded-image
         # semantics; see train.loop.run_dataset_eval)
         loss, map_val = run_dataset_eval(
             self.config, self._eval_step, self.map_metric, state, ds,
-            with_map=with_map or coco_map)
+            with_map=with_map or coco_map, sharding=self._batch_sharding)
         out = {"loss": loss}
         if with_map:
             out["mAP"] = map_val

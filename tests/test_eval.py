@@ -83,3 +83,32 @@ def test_evaluator_dataset(setup):
     assert np.isfinite(res["loss"])
     assert 0.0 <= res["mAP"] <= 1.0
     assert res["images_per_s"] > 0
+
+def test_evaluator_data_parallel_matches_single(setup):
+    """Standalone dataset eval over a data-parallel mesh must equal the
+    single-device path (same batches, GSPMD-partitioned forward)."""
+    from keras_object_detection_tpu.parallel.mesh import create_mesh
+
+    cfg, state, data_dir = setup
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8)
+    single = Evaluator(cfg).evaluate(state, ds, coco_map=True)
+    mesh = create_mesh(data_parallel=2, devices=jax.devices()[:2])
+    dp = Evaluator(cfg, mesh=mesh).evaluate(state, ds, coco_map=True)
+    assert np.isclose(dp["loss"], single["loss"], rtol=1e-5, atol=1e-6)
+    assert np.isclose(dp["mAP"], single["mAP"], atol=1e-6)
+    assert np.isclose(dp["mAP@[.50:.95]"], single["mAP@[.50:.95]"], atol=1e-6)
+
+
+def test_evaluator_mesh_batch_divisibility():
+    from keras_object_detection_tpu.parallel.mesh import create_mesh
+
+    cfg = Config(
+        grid=GridConfig(num_classes=3),
+        model=ModelConfig(backbone="darknet_tiny", head="conv",
+                          image_size=224, compute_dtype="float32"),
+        data=DataConfig(batch_size=3, max_boxes_per_image=8),
+    )
+    with pytest.raises(ValueError, match="divide"):
+        Evaluator(cfg, mesh=create_mesh(data_parallel=2,
+                                        devices=jax.devices()[:2]))
