@@ -24,6 +24,15 @@ def main():
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--data-dir", help="YOLO-format dir for dataset evaluation")
     p.add_argument("--image", help="single image to tag")
+    p.add_argument("--image-dir",
+                   help="batch inference over every *.jpg in a directory "
+                        "(no labels needed): detections land in "
+                        "--detections-json, tagged copies in --tag-dir")
+    p.add_argument("--detections-json", default="detections.json",
+                   help="output path for --image-dir per-image detections")
+    p.add_argument("--tag-dir",
+                   help="with --image-dir and --names: write tagged copies "
+                        "of every image here")
     p.add_argument("--names", help="class-names file for tagging")
     p.add_argument("--output", default="tagged.jpg")
     p.add_argument("--grid-overlay", action="store_true",
@@ -123,6 +132,57 @@ def main():
                 Image.fromarray(tagged).save(args.output)
             print(f"wrote {args.output}")
 
+    if args.image_dir:
+        import glob
+        import json
+
+        paths = sorted(glob.glob(os.path.join(args.image_dir, "*.jpg")))
+        if not paths:
+            raise SystemExit(f"error: no *.jpg under {args.image_dir}")
+        if args.tag_dir:
+            os.makedirs(args.tag_dir, exist_ok=True)
+        bs = cfg.data.batch_size
+        detections = {}
+        for start in range(0, len(paths), bs):
+            chunk = paths[start:start + bs]
+            imgs = np.stack([load_example(p, cfg.model.image_size,
+                                          cfg.data.max_boxes_per_image)[0]
+                             for p in chunk])
+            # pad the final partial batch so the jitted program keeps ONE
+            # static shape (a second compile costs more than the padded rows)
+            if len(chunk) < bs:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((bs - len(chunk),) + imgs.shape[1:],
+                                    imgs.dtype)])
+            boxes, valid = model.predict(imgs)
+            for i, path in enumerate(chunk):
+                kept = boxes[i][valid[i]]
+                detections[os.path.basename(path)] = [
+                    {"class": int(b[0]), "confidence": round(float(b[1]), 4),
+                     "box_cxcywh": [round(float(v), 5) for v in b[2:6]]}
+                    for b in kept]
+                if args.tag_dir and args.names:
+                    draw = (get_grid_tagged_img if args.grid_overlay
+                            else get_tagged_img)
+                    tagged = draw(imgs[i].copy(), kept, args.names)
+                    out_path = os.path.join(args.tag_dir,
+                                            os.path.basename(path))
+                    try:
+                        import cv2
+
+                        cv2.imwrite(out_path,
+                                    cv2.cvtColor(tagged, cv2.COLOR_RGB2BGR))
+                    except ImportError:
+                        from PIL import Image
+
+                        Image.fromarray(tagged).save(out_path)
+        with open(args.detections_json, "w") as f:
+            json.dump(detections, f, indent=1)
+        n_det = sum(len(v) for v in detections.values())
+        print(f"wrote {args.detections_json}: {n_det} detections over "
+              f"{len(paths)} images"
+              + (f", tagged copies in {args.tag_dir}" if args.tag_dir else ""))
+
     if args.data_dir:
         ds = YoloDataset(args.data_dir, cfg.model.image_size,
                          cfg.data.batch_size,
@@ -133,8 +193,6 @@ def main():
         # in-training validation).
         mesh = None
         if args.data_parallel != 1:
-            import jax
-
             from keras_object_detection_tpu.parallel.mesh import create_mesh
 
             # N > 0 takes the first N chips; -1 takes them all.
