@@ -216,6 +216,12 @@ class EvalConfig:
     # pads it, so padded images otherwise add phantom no-object loss terms
     # and spurious detections).
     mask_padded_images: bool = False
+    # Opt-in: on every mAP epoch, additionally log the COCO-style
+    # mAP@[.50:.95] sweep (val_mAP_coco + per-threshold keys). Rides the
+    # already-accumulated decode+NMS box sets — one extra compiled matcher
+    # sweep, zero extra forward passes. Off = reference parity (the
+    # reference only ever computes VOC mAP@0.5).
+    coco_map: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -414,6 +414,18 @@ class Trainer:
             self.map_metric.update_state(y_true, y_pred, image_valid=weight)
         return self.map_metric.result()
 
+    def _coco_map_logs(self) -> Dict[str, float]:
+        """EvalConfig.coco_map extras from the already-filled accumulator:
+        {"val_mAP_coco": mAP@[.50:.95], "val_mAP@0.55": ..., ...} (0.50 is
+        omitted — it IS val_mAP)."""
+        from keras_object_detection_tpu.ops.map import COCO_IOU_THRESHOLDS
+
+        multi = self.map_metric.result_multi()
+        out = {"val_mAP_coco": multi["mAP@[.50:.95]"]}
+        out.update({f"val_mAP@{t:.2f}": multi[f"mAP@{t:.2f}"]
+                    for t in COCO_IOU_THRESHOLDS if t > 0.5})
+        return out
+
     def _should_eval_map(self, epoch: int, improved: bool) -> bool:
         """The reference's mAP evaluation policy (ref train.py:189-200):
         after epoch 100 (1-based), when monitored loss improves or every 10."""
@@ -550,6 +562,8 @@ class Trainer:
                 improved = val["val_loss"] < best
                 if self._should_eval_map(epoch, improved):
                     val["val_mAP"] = self._map_from_stash(stash)
+                    if cfg.eval.coco_map:
+                        val.update(self._coco_map_logs())
                 logs.update(val)
                 if improved:
                     best = val["val_loss"]

@@ -529,3 +529,37 @@ def test_save_cooldown_throttles_checkpoints(tmp_path, data_dir):
     # epoch 0 (first improvement) and epoch 3 (final) only
     assert steps == [0, 3], steps
     trainer.ckpt.close()
+
+
+def test_coco_map_training_logs(tmp_path, data_dir):
+    """EvalConfig.coco_map logs the COCO sweep on mAP epochs, riding the
+    stashed single-pass predictions (no extra forwards)."""
+    import dataclasses
+
+    from keras_object_detection_tpu.config import EvalConfig
+    from keras_object_detection_tpu.ops.map import COCO_IOU_THRESHOLDS
+
+    cfg = _tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone="darknet_micro",
+                                  image_size=56),
+        train=dataclasses.replace(cfg.train, map_eval_start_epoch=0,
+                                  map_eval_every=1),
+        eval=EvalConfig(coco_map=True),
+    )
+    ds = YoloDataset(data_dir, 56, 2, max_boxes=8, shuffle=True)
+    val = YoloDataset(data_dir, 56, 2, max_boxes=8)
+    trainer = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                            devices=jax.devices()[:1]),
+                      use_tensorboard=False)
+    logs = {}
+    orig_log = trainer.logger.log
+    trainer.logger.log = lambda e, l: (logs.setdefault(e, l), orig_log(e, l))
+    trainer.fit(ds, val, epochs=1, verbose=False)
+    trainer.ckpt.close()
+    (log,) = logs.values()
+    assert "val_mAP_coco" in log and "val_mAP@0.75" in log
+    sweep = [log["val_mAP"]] + [log[f"val_mAP@{t:.2f}"]
+                                for t in COCO_IOU_THRESHOLDS if t > 0.5]
+    assert np.isclose(log["val_mAP_coco"], np.mean(sweep), atol=1e-6)
