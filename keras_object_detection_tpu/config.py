@@ -182,8 +182,9 @@ class TrainConfig:
     # Use the fused Pallas loss kernel (ops/pallas_loss.py) instead of the
     # jnp formulation — bit-equivalent values/grads (see tests); TPU only.
     use_pallas_loss: bool = False
-    # "mse" = reference parity; "diou" = Distance-IoU box regression
-    # (Zheng et al. 2019, see PAPERS.md) as an opt-in improvement.
+    # "mse" = reference parity; opt-in IoU-family box regression (PAPERS.md):
+    # "diou" (Distance-IoU, Zheng et al. 2019), "ciou" (+ aspect-ratio
+    # consistency, same paper), "alpha_iou" (alpha-DIoU, He et al. 2021).
     box_loss_mode: str = "mse"
     # Maintain an exponential moving average of the params (evaluated /
     # served via TrainState.ema_params); None disables.

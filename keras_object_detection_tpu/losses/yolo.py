@@ -26,8 +26,10 @@ import jax.numpy as jnp
 from keras_object_detection_tpu.core.boxes import iou_cxcywh
 
 
-def _diou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
-    """Per-cell DIoU regression loss (..., 1); standard geometric IoU."""
+def _iou_geometry(true_box: jnp.ndarray, pred_box: jnp.ndarray):
+    """Shared per-cell box geometry for the IoU-family regression losses:
+    returns ``(iou, center_d2/diag2, aspect_v)``, each ``(..., 1)``, with
+    standard (non-quirky) geometric IoU and |w|,|h| on predictions."""
     tx, ty, tw, th = (true_box[..., k : k + 1] for k in range(4))
     px, py, pw, ph = (pred_box[..., k : k + 1] for k in range(4))
     pw = jnp.abs(pw)
@@ -43,7 +45,37 @@ def _diou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
     cw = jnp.maximum(tx2, px2) - jnp.minimum(tx1, px1)
     ch = jnp.maximum(ty2, py2) - jnp.minimum(ty1, py1)
     diag2 = cw ** 2 + ch ** 2 + 1e-9
-    return 1.0 - iou + center_d2 / diag2
+    # CIoU aspect-ratio consistency term (Zheng et al. 2019 eq. 9)
+    v = (4.0 / jnp.pi ** 2) * jnp.square(
+        jnp.arctan(tw / (th + 1e-9)) - jnp.arctan(pw / (ph + 1e-9)))
+    return iou, center_d2 / diag2, v
+
+
+def _diou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell DIoU regression loss (..., 1); standard geometric IoU."""
+    iou, norm_d2, _ = _iou_geometry(true_box, pred_box)
+    return 1.0 - iou + norm_d2
+
+
+def _ciou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell Complete-IoU loss: DIoU + aspect-ratio consistency
+    (Zheng et al. 2019, arXiv:1911.08287 eq. 10). The trade-off weight
+    alpha = v / (1 - IoU + v) is treated as a constant per the paper's
+    gradient derivation (stop_gradient)."""
+    iou, norm_d2, v = _iou_geometry(true_box, pred_box)
+    alpha = jax.lax.stop_gradient(v / (1.0 - iou + v + 1e-9))
+    return 1.0 - iou + norm_d2 + alpha * v
+
+
+def _alpha_iou_loss(true_box: jnp.ndarray, pred_box: jnp.ndarray,
+                    alpha: float = 3.0) -> jnp.ndarray:
+    """Per-cell alpha-DIoU loss (He et al. 2021, arXiv:2110.13675, see
+    PAPERS.md): power-transform both the IoU and penalty terms —
+    ``1 - IoU^alpha + (d2/diag2)^alpha`` — which up-weights high-IoU
+    examples for more accurate localization; alpha=3 is the paper's
+    recommendation."""
+    iou, norm_d2, _ = _iou_geometry(true_box, pred_box)
+    return 1.0 - iou ** alpha + norm_d2 ** alpha
 
 
 def yolo_v1_loss_terms(
@@ -58,8 +90,9 @@ def yolo_v1_loss_terms(
     sample_weight: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-term scalars; ``total`` matches the reference loss exactly
-    (with the default ``box_loss_mode="mse"``; ``"diou"`` swaps the xy/wh
-    MSE terms for the Distance-IoU regression loss).
+    (with the default ``box_loss_mode="mse"``; ``"diou"`` / ``"ciou"`` /
+    ``"alpha_iou"`` swap the xy/wh MSE terms for the corresponding
+    IoU-family regression loss, see PAPERS.md).
 
     Args:
       y_true: ``(batch, S, S, C + 5B)`` grid targets (only box slot 0 used).
@@ -105,9 +138,10 @@ def yolo_v1_loss_terms(
 
     if noobj_mode not in ("selected", "all"):
         raise ValueError(f"noobj_mode must be 'selected' or 'all', got {noobj_mode!r}")
-    if box_loss_mode not in ("mse", "diou"):
+    if box_loss_mode not in ("mse", "diou", "ciou", "alpha_iou"):
         raise ValueError(
-            f"box_loss_mode must be 'mse' or 'diou', got {box_loss_mode!r}")
+            f"box_loss_mode must be 'mse', 'diou', 'ciou' or 'alpha_iou', "
+            f"got {box_loss_mode!r}")
 
     if box_loss_mode == "mse":
         xy_loss = jnp.sum(obj * jnp.square(true_box[..., 0:2] - pred_box[..., 0:2]))
@@ -120,11 +154,14 @@ def yolo_v1_loss_terms(
         )
         box_loss = xy_loss + wh_loss
     else:
-        # Distance-IoU regression loss (Zheng et al. 2019, arXiv:1911.08287,
-        # see PAPERS.md): 1 - IoU + center-distance^2 / enclosing-diagonal^2,
-        # with standard (non-quirky) geometric IoU. Opt-in improvement over
-        # the reference's MSE terms.
-        box_loss = jnp.sum(obj * _diou_loss(true_box, pred_box))
+        # IoU-family regression losses (see PAPERS.md), all opt-in
+        # improvements over the reference's MSE terms with standard
+        # (non-quirky) geometric IoU: DIoU (Zheng et al. 2019,
+        # arXiv:1911.08287), CIoU (same paper, + aspect consistency),
+        # alpha-DIoU (He et al. 2021, arXiv:2110.13675, alpha=3).
+        fn = {"diou": _diou_loss, "ciou": _ciou_loss,
+              "alpha_iou": _alpha_iou_loss}[box_loss_mode]
+        box_loss = jnp.sum(obj * fn(true_box, pred_box))
     object_loss = jnp.sum(obj * jnp.square(pred_iou - pred_conf))
     if noobj_mode == "selected":
         no_object_loss = jnp.sum(noobj * jnp.square(0.0 - pred_conf))

@@ -90,3 +90,30 @@ def test_diou_box_loss_mode():
         jnp.asarray(y), p, 3, 2, box_loss_mode="diou")["total"])(
             jnp.asarray(y_bad))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ciou_and_alpha_iou_box_loss_modes():
+    """CIoU / alpha-DIoU (PAPERS.md, arXiv:1911.08287 / 2110.13675): zero
+    for a perfect box, positive + finite-gradient otherwise, and ordered
+    sensibly vs DIoU (CIoU >= DIoU: it adds a non-negative aspect term)."""
+    y = np.zeros((1, 7, 7, 13), np.float32)
+    y[:, 2, 2, 0] = 1
+    y[:, 2, 2, 3] = 1
+    y[:, 2, 2, 4:8] = [0.5, 0.5, 0.2, 0.2]
+    y_bad = y.copy()
+    y_bad[:, 2, 2, 4:8] = [0.4, 0.6, 0.05, 0.3]  # off-center + wrong aspect
+
+    vals = {}
+    for mode in ("diou", "ciou", "alpha_iou"):
+        perfect = yolo_v1_loss_terms(
+            jnp.asarray(y), jnp.asarray(y), 3, 2, box_loss_mode=mode)
+        assert float(perfect["box_loss"]) < 1e-5, mode
+        bad = yolo_v1_loss_terms(
+            jnp.asarray(y), jnp.asarray(y_bad), 3, 2, box_loss_mode=mode)
+        vals[mode] = float(bad["box_loss"])
+        assert vals[mode] > 0.1, (mode, vals[mode])
+        g = jax.grad(lambda p: yolo_v1_loss_terms(
+            jnp.asarray(y), p, 3, 2, box_loss_mode=mode)["total"])(
+                jnp.asarray(y_bad))
+        assert np.all(np.isfinite(np.asarray(g))), mode
+    assert vals["ciou"] >= vals["diou"] - 1e-6

@@ -73,7 +73,7 @@ def main():
     p.add_argument("--activation", default="relu",
                    choices=("relu", "leaky_relu"),
                    help="leaky_relu = the paper's LeakyReLU(0.1)")
-    p.add_argument("--box-loss", default="mse", choices=("mse", "diou"),
+    p.add_argument("--box-loss", default="mse", choices=("mse", "diou", "ciou", "alpha_iou"),
                    help="diou = Distance-IoU box regression (beyond-parity)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="train with the fused Pallas loss kernel "
