@@ -164,6 +164,11 @@ def make_train_step(config: Config):
                 from keras_object_detection_tpu.ops.pallas_loss import (
                     pallas_yolo_v1_loss)
 
+                if t.box_loss_mode != "mse":
+                    raise ValueError(
+                        "use_pallas_loss implements only the reference MSE "
+                        f"box terms; box_loss_mode={t.box_loss_mode!r} "
+                        "requires the jnp loss path (use_pallas_loss=False)")
                 total = pallas_yolo_v1_loss(
                     y_true, y_pred, g.num_classes, g.num_boxes,
                     t.lambda_coord, t.lambda_noobj, t.noobj_mode,

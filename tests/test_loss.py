@@ -117,3 +117,32 @@ def test_ciou_and_alpha_iou_box_loss_modes():
                 jnp.asarray(y_bad))
         assert np.all(np.isfinite(np.asarray(g))), mode
     assert vals["ciou"] >= vals["diou"] - 1e-6
+
+
+def test_pallas_loss_rejects_iou_box_modes(tmp_path):
+    """use_pallas_loss implements only the MSE box terms; combining it with
+    an IoU-family box_loss_mode must fail loudly, not silently train MSE."""
+    import dataclasses
+
+    import pytest
+
+    from keras_object_detection_tpu.config import (
+        Config, DataConfig, GridConfig, ModelConfig, TrainConfig)
+    from keras_object_detection_tpu.train.loop import (
+        create_train_state, make_train_step)
+
+    cfg = Config(
+        grid=GridConfig(num_classes=3),
+        model=ModelConfig(backbone="darknet_micro", head="conv",
+                          image_size=56, compute_dtype="float32"),
+        data=DataConfig(batch_size=2, max_boxes_per_image=4),
+        train=TrainConfig(optimizer="adam", use_pallas_loss=True,
+                          box_loss_mode="ciou"),
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    imgs = jnp.zeros((2, 56, 56, 3), jnp.uint8)
+    boxes = jnp.zeros((2, 4, 5), jnp.float32)
+    valid = jnp.zeros((2, 4), bool)
+    with pytest.raises(ValueError, match="jnp loss path"):
+        step(state, imgs, boxes, valid, jax.random.PRNGKey(1))
