@@ -53,6 +53,13 @@ def main():
                         "to the mean, ref utils.py:455-456)")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
+    p.add_argument("--nms-mode", choices=("hard", "soft_gaussian", "soft_linear"),
+                   default=None,
+                   help="override EvalConfig.nms_mode for serving: hard = "
+                        "the reference's greedy NMS; soft_* = Soft-NMS "
+                        "(confidence decay instead of deletion)")
+    p.add_argument("--soft-nms-sigma", type=float, default=None,
+                   help="gaussian Soft-NMS decay scale (EvalConfig.soft_nms_sigma)")
     p.add_argument("--serving", choices=("float", "int8", "auto"),
                    default="float",
                    help="single-image serving path: float (default), true-"
@@ -79,6 +86,15 @@ def main():
     if not os.path.exists(cfg_path):
         raise SystemExit(f"error: {cfg_path} not found (written by train.py)")
     cfg = Config.from_json(open(cfg_path).read())
+    if args.nms_mode or args.soft_nms_sigma is not None:
+        import dataclasses
+
+        ev = cfg.eval
+        if args.nms_mode:
+            ev = dataclasses.replace(ev, nms_mode=args.nms_mode)
+        if args.soft_nms_sigma is not None:
+            ev = dataclasses.replace(ev, soft_nms_sigma=args.soft_nms_sigma)
+        cfg = dataclasses.replace(cfg, eval=ev)
 
     template = jax.device_get(
         create_train_state(cfg, jax.random.PRNGKey(0)))

@@ -210,6 +210,14 @@ class EvalConfig:
     iou_threshold: float = 0.5
     map_iou_threshold: float = 0.5
     max_detections: int = 49  # S*S candidates per image
+    # Serving-path NMS flavor. "hard" = the reference's greedy suppression
+    # (ref utils.py:79-149, bit-parity default). "soft_gaussian"/"soft_linear"
+    # = class-aware Soft-NMS (ops/nms.py soft_non_max_suppression): overlaps
+    # get confidence-decayed instead of deleted — opt-in, beyond parity.
+    # Applies to InferenceModel serving only; the mAP accumulator keeps the
+    # reference's hard NMS for metric parity.
+    nms_mode: str = "hard"
+    soft_nms_sigma: float = 0.5  # gaussian decay scale
     # Opt-in de-biasing of non-divisible eval sets: weight out the zero-padded
     # images of the final partial batch from val loss and drop them from the
     # mAP accumulator. False = reference parity in spirit (the reference

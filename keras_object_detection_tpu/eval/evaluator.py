@@ -63,6 +63,13 @@ class InferenceModel:
 
         def forward_decode_nms(variables, images_u8):
             boxes = forward_decode(variables, images_u8)
+            if e.nms_mode != "hard":  # opt-in Soft-NMS serving
+                from keras_object_detection_tpu.ops.nms import (
+                    batched_soft_non_max_suppression)
+
+                return batched_soft_non_max_suppression(
+                    boxes, e.iou_threshold, e.conf_threshold,
+                    e.soft_nms_sigma, e.nms_mode.removeprefix("soft_"))
             return batched_non_max_suppression(
                 boxes, e.iou_threshold, e.conf_threshold)
 
@@ -105,8 +112,17 @@ class InferenceModel:
             e = self.config.eval
             decode = jax.jit(
                 lambda y: _dg(y, g.num_classes, g.num_boxes, g.grid))
-            nms = jax.jit(
-                lambda b: _nms(b, e.iou_threshold, e.conf_threshold))
+            if e.nms_mode != "hard":  # keep staged/fused variants comparable
+                from keras_object_detection_tpu.ops.nms import (
+                    batched_soft_non_max_suppression as _soft)
+
+                nms = jax.jit(
+                    lambda b: _soft(b, e.iou_threshold, e.conf_threshold,
+                                    e.soft_nms_sigma,
+                                    e.nms_mode.removeprefix("soft_")))
+            else:
+                nms = jax.jit(
+                    lambda b: _nms(b, e.iou_threshold, e.conf_threshold))
 
             def run(x):
                 return nms(decode(self._forward(self._variables, x)))

@@ -71,6 +71,86 @@ def non_max_suppression(
     return sb[compact], alive[compact]
 
 
+def soft_non_max_suppression(
+    boxes: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    conf_threshold: float = 0.4,
+    sigma: float = 0.5,
+    method: str = "gaussian",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware Soft-NMS (Bodla et al. 2017) — opt-in, beyond parity.
+
+    Instead of discarding overlapping same-class boxes outright (the
+    reference's greedy rule, ref utils.py:108), each selection DECAYS the
+    confidence of its same-class overlaps; boxes whose decayed confidence
+    stays above ``conf_threshold`` can still be selected later. Recovers
+    detections in crowded scenes that hard NMS deletes.
+
+    Static-shape formulation: ``fori_loop`` over N selection slots; each step
+    arg-maxes the surviving decayed confidences, records the pick, and decays
+    via one row of the precomputed (N, N) IoU matrix. Once the running max
+    falls to ``conf_threshold`` or below, remaining iterations are no-ops.
+
+    Args:
+      boxes: ``(N, 6)`` rows of ``[class_idx, confidence, cx, cy, w, h]``.
+      method: ``"gaussian"`` — ``conf *= exp(-iou**2 / sigma)`` (every
+        same-class overlap decays); ``"linear"`` — ``conf *= (1 - iou)`` only
+        where ``iou >= iou_threshold`` (hard-NMS-like locality, soft penalty).
+
+    Returns:
+      ``(kept_boxes, valid)`` like :func:`non_max_suppression`; kept rows are
+      in selection order (descending decayed confidence) and carry their
+      decayed confidence in column 1.
+    """
+    if method not in ("gaussian", "linear"):
+        raise ValueError(f"unknown soft-NMS method {method!r}")
+    n = boxes.shape[0]
+    iou = pairwise_iou_cxcywh(boxes[:, 2:6], boxes[:, 2:6])  # (N, N)
+    same_class = boxes[:, 0][:, None] == boxes[:, 0][None, :]
+    idx = jnp.arange(n)
+
+    def body(i, state):
+        conf, selected, slots, slot_conf = state
+        cand = jnp.where(selected, -jnp.inf, conf)
+        j = jnp.argmax(cand)
+        take = cand[j] > conf_threshold  # strict, like ref utils.py:95
+        picked = (idx == j) & take
+        selected = selected | picked
+        slots = slots.at[i].set(jnp.where(take, j, n))
+        slot_conf = slot_conf.at[i].set(jnp.where(take, conf[j], 0.0))
+        iou_j = iou[j]
+        if method == "gaussian":
+            decay = jnp.exp(-(iou_j * iou_j) / sigma)
+        else:
+            decay = jnp.where(iou_j >= iou_threshold, 1.0 - iou_j, 1.0)
+        decay = jnp.where(same_class[j] & ~picked & take, decay, 1.0)
+        return conf * decay, selected, slots, slot_conf
+
+    conf0 = boxes[:, 1].astype(jnp.float32)
+    slots0 = jnp.full((n,), n, dtype=jnp.int32)
+    _, _, slots, slot_conf = jax.lax.fori_loop(
+        0, n, body, (conf0, jnp.zeros((n,), bool), slots0, jnp.zeros((n,))))
+
+    valid = slots < n
+    rows = boxes[jnp.clip(slots, 0, n - 1)]
+    rows = rows.at[:, 1].set(slot_conf.astype(rows.dtype))
+    return jnp.where(valid[:, None], rows, 0.0), valid
+
+
+def batched_soft_non_max_suppression(
+    boxes: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    conf_threshold: float = 0.4,
+    sigma: float = 0.5,
+    method: str = "gaussian",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vmapped Soft-NMS: ``(B, N, 6) -> ((B, N, 6), (B, N))``."""
+    return jax.vmap(
+        lambda b: soft_non_max_suppression(b, iou_threshold, conf_threshold,
+                                           sigma, method)
+    )(boxes)
+
+
 def batched_non_max_suppression(
     boxes: jnp.ndarray,
     iou_threshold: float = 0.5,
