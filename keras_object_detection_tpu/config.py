@@ -186,6 +186,23 @@ class TrainConfig:
     # "diou" (Distance-IoU, Zheng et al. 2019), "ciou" (+ aspect-ratio
     # consistency, same paper), "alpha_iou" (alpha-DIoU, He et al. 2021).
     box_loss_mode: str = "mse"
+    # Multi-scale training (YOLOv2-style, beyond parity): train epochs at
+    # randomly chosen input resolutions from this tuple; () disables. Each
+    # size is one cached XLA compile (static shapes); the conv head's target
+    # grid scales with the resolution (S = feature size), the fully-
+    # convolutional params are shared, and validation/serving stay at
+    # ModelConfig.image_size. Sizes must be multiples of the backbone's
+    # pixel stride (image_size // grid.grid for the darknet family, e.g. 64
+    # for darknet24@448). Requires head "conv" (grid follows resolution) or
+    # "gap_dense" (grid fixed by the head); flatten_dense heads have
+    # resolution-dependent parameter shapes and are rejected. Note the
+    # reference's sum-reduced loss scales with cell count, so larger sizes
+    # contribute proportionally larger loss values — same-sign gradients,
+    # standard for this family.
+    multiscale_sizes: tuple = ()
+    # Re-draw the multiscale size every N epochs (YOLOv2 re-draws every 10
+    # batches; per-epoch keeps one compiled program per epoch).
+    multiscale_every: int = 1
     # Maintain an exponential moving average of the params (evaluated /
     # served via TrainState.ema_params); None disables.
     ema_decay: Optional[float] = None

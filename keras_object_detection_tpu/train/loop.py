@@ -24,6 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -99,11 +100,55 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
 
-def make_train_step(config: Config):
-    """Build the fused train step: augment -> encode -> fwd/bwd -> update."""
+def multiscale_grid(config: Config, size: int) -> int:
+    """Target grid S for a multiscale training resolution.
+
+    Darknet-family backbones emit ``size // stride_px`` features
+    (stride_px = image_size // grid at the canonical resolution); the conv
+    head then strides by ``max(feat // grid, 1)`` with SAME padding
+    (models/yolo.py ConvHead), so S follows the resolution until the head
+    re-strides. GAP-dense heads always emit the configured grid."""
+    if config.model.head == "gap_dense":
+        return config.grid.grid
+    stride_px = config.model.image_size // config.grid.grid
+    if stride_px <= 0 or config.model.image_size % config.grid.grid:
+        raise ValueError(
+            f"multiscale needs image_size ({config.model.image_size}) "
+            f"divisible by grid ({config.grid.grid})")
+    if size % stride_px:
+        raise ValueError(
+            f"multiscale size {size} must be a multiple of the backbone "
+            f"pixel stride {stride_px}")
+    feat = size // stride_px
+    head_stride = max(feat // config.grid.grid, 1)
+    return -(-feat // head_stride)  # ceil (SAME conv)
+
+
+def validate_multiscale(config: Config) -> None:
+    """Reject configurations whose parameter shapes depend on resolution."""
+    if not config.train.multiscale_sizes:
+        return
+    if config.model.head == "flatten_dense":
+        raise ValueError(
+            "multiscale_sizes requires a resolution-agnostic head: "
+            "'conv' or 'gap_dense' (flatten_dense Dense kernels have "
+            "resolution-dependent shapes)")
+    for size in config.train.multiscale_sizes:
+        multiscale_grid(config, size)  # raises on stride mismatch
+
+
+def make_train_step(config: Config, image_size: Optional[int] = None,
+                    grid: Optional[int] = None):
+    """Build the fused train step: augment -> encode -> fwd/bwd -> update.
+
+    ``image_size``/``grid`` override the augmentation output resolution and
+    the target grid for multiscale training (``TrainConfig.multiscale_sizes``);
+    defaults reproduce the canonical single-scale step exactly."""
     g = config.grid
     d = config.data
     t = config.train
+    out_size = config.model.image_size if image_size is None else image_size
+    out_grid = g.grid if grid is None else grid
 
     freeze_key = None
     if getattr(config.model, "freeze_backbone", False):
@@ -121,11 +166,12 @@ def make_train_step(config: Config):
             min_visibility=d.min_visibility,
             # crop-fidelity path: inputs may be decoded above model
             # resolution (DataConfig.train_decode_size); the crop emits
-            # model-resolution images either way
-            out_size=config.model.image_size,
+            # the step's training resolution either way (canonical
+            # image_size, or a multiscale size for this epoch's step)
+            out_size=out_size,
         )
         y_true = jax.vmap(
-            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
+            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, out_grid)
         )(aboxes, avalid)
 
         def forward(params, batch_stats, imgs):
@@ -318,11 +364,14 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh, config.mesh.data_axis)
         self._replicated = replicated_sharding(self.mesh)
 
+        validate_multiscale(config)
         # The train step's out_shardings mirror the state tree (tensor-
         # parallel leaves on the model axis, everything else replicated), so
         # the jit is built lazily on the first step, once a state exists.
+        # Multiscale: one step fn + jit per training resolution (size=None is
+        # the canonical single-scale step), cached — each size compiles once.
         self._train_step_fn = make_train_step(config)
-        self._train_step_jit = None
+        self._train_step_jits: Dict[Any, Any] = {}
         self._eval_step = jax.jit(make_eval_step(config))
         self._eval_step_fn = make_eval_step(config)
         # device_cache variants: same step fns behind an on-device gather
@@ -351,14 +400,34 @@ class Trainer:
             state, state_sharding(self.mesh, state,
                                   self.config.mesh.model_axis))
 
-    def _train_step(self, state: TrainState, *args):
-        if self._train_step_jit is None:
+    def _step_fn_for(self, size: Optional[int]):
+        """The (un-jitted) train step for a resolution (None = canonical)."""
+        if size is None or size == self.config.model.image_size:
+            return self._train_step_fn
+        return make_train_step(self.config, image_size=size,
+                               grid=multiscale_grid(self.config, size))
+
+    def _train_step(self, state: TrainState, *args, size: Optional[int] = None):
+        if size not in self._train_step_jits:
             out_state_shardings = state_sharding(
                 self.mesh, state, self.config.mesh.model_axis)
-            self._train_step_jit = jax.jit(
-                self._train_step_fn, donate_argnums=(0,),
+            self._train_step_jits[size] = jax.jit(
+                self._step_fn_for(size), donate_argnums=(0,),
                 out_shardings=(out_state_shardings, self._replicated))
-        return self._train_step_jit(state, *args)
+        return self._train_step_jits[size](state, *args)
+
+    def _epoch_size(self, epoch: int) -> Optional[int]:
+        """Multiscale resolution for an epoch: a deterministic draw from
+        TrainConfig.multiscale_sizes, re-drawn every multiscale_every epochs
+        (YOLOv2's every-10-batches policy at epoch granularity, so each
+        epoch runs ONE compiled program). None = single-scale."""
+        ms = self.config.train.multiscale_sizes
+        if not ms:
+            return None
+        period = max(self.config.train.multiscale_every, 1)
+        r = np.random.RandomState(
+            (self.config.train.seed + 7) * 1000003 + epoch // period)
+        return int(r.choice(np.asarray(ms)))
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,
                         with_map: bool, stash=None) -> Dict[str, float]:
@@ -512,15 +581,17 @@ class Trainer:
             # step (~30 ms each through this environment's dispatch relay).
             acc: Dict[str, Any] = {}
             nb = 0
+            ms_size = self._epoch_size(epoch)
             if dev_train is not None:
-                key = ("train", id(dev_train))
+                key = ("train", id(dev_train), ms_size)
                 if key not in self._cached_jits:
                     gather = dev_train.make_gather(self._batch_sharding)
-                    fn = self._train_step_fn
+                    fn = self._step_fn_for(ms_size)
                     out_sh = state_sharding(self.mesh, state,
                                             self.config.mesh.model_axis)
 
-                    def _train_cached(state, imgs, bxs, vld, idx, rng):
+                    def _train_cached(state, imgs, bxs, vld, idx, rng,
+                                      gather=gather, fn=fn):
                         ib, bb, vb = gather(imgs, bxs, vld, idx)
                         return fn(state, ib, bb, vb, rng)
 
@@ -539,11 +610,13 @@ class Trainer:
                 for images, boxes, valid in train_ds.prefetched(
                         self._batch_sharding):
                     state, metrics = self._train_step(
-                        state, images, boxes, valid, rng)
+                        state, images, boxes, valid, rng, size=ms_size)
                     nb += 1
                     for k, v in metrics.items():
                         acc[k] = v if k not in acc else acc[k] + v
             train_metrics = {k: float(v) / max(nb, 1) for k, v in acc.items()}
+            if ms_size is not None:
+                train_metrics["train_size"] = ms_size
             train_metrics["lr"] = lr
             train_metrics["epoch_time_s"] = time.time() - t0
             train_metrics["images_per_s"] = (

@@ -73,6 +73,12 @@ def parse_args():
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--profile-dir",
                    help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--multiscale", metavar="S1,S2,...",
+                   help="multi-scale training: comma-separated input sizes "
+                        "drawn per epoch (e.g. 384,448,512; each a multiple "
+                        "of the backbone stride). Eval stays at --image-size")
+    p.add_argument("--multiscale-every", type=int,
+                   help="re-draw the multiscale size every N epochs")
     return p.parse_args()
 
 
@@ -108,7 +114,11 @@ def build_config(args):
                   train_decode_size=args.train_decode_size),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
-                   log_dir=args.log_dir, seed=args.seed),
+                   log_dir=args.log_dir, seed=args.seed,
+                   multiscale_sizes=(tuple(int(s) for s in
+                                           args.multiscale.split(","))
+                                     if args.multiscale else None),
+                   multiscale_every=args.multiscale_every),
         mesh=over(cfg.mesh, data_parallel=args.data_parallel),
     )
 
@@ -129,10 +139,13 @@ def main():
 
     cache_sub = (lambda split: os.path.join(cfg.data.cache_dir, split)
                  if cfg.data.cache_dir else None)
+    # multiscale trains some epochs above image_size: decode the host/cache
+    # images at the LARGEST training resolution so no epoch upsamples
+    ms_max = max(cfg.train.multiscale_sizes or (0,))
     train_ds = YoloDataset(
         cfg.data.train_dir,
         # crop-fidelity: train images may decode above model resolution
-        cfg.data.train_input_size(cfg.model.image_size),
+        cfg.data.train_input_size(max(cfg.model.image_size, ms_max)),
         cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image, shuffle=cfg.data.shuffle,
         drop_remainder=cfg.data.drop_remainder,
