@@ -89,6 +89,15 @@ class DataConfig:
     crop_scale: Tuple[float, float] = (0.8, 1.0)
     crop_ratio: Tuple[float, float] = (0.75, 1.3333333333333333)
     min_visibility: float = 0.1
+    # Mosaic augmentation (beyond parity; YOLOv4 arXiv:2004.10934): per-image
+    # probability of composing the training image from 4 batch images resized
+    # into the quadrants of a random center point. Runs on-device BEFORE the
+    # reference flip/jitter/crop policy; the per-image box budget becomes
+    # 4 * max_boxes_per_image inside the step. 0.0 disables (bit-identical
+    # canonical path).
+    mosaic_prob: float = 0.0
+    # Uniform range the mosaic center is drawn from (relative units).
+    mosaic_center_range: Tuple[float, float] = (0.25, 0.75)
     max_boxes_per_image: int = 64  # static padding bound for on-device encode
     prefetch: int = 2
     num_workers: int = 8
@@ -203,6 +212,17 @@ class TrainConfig:
     # Re-draw the multiscale size every N epochs (YOLOv2 re-draws every 10
     # batches; per-epoch keeps one compiled program per epoch).
     multiscale_every: int = 1
+    # Gradient accumulation: split each batch into N microbatches inside the
+    # ONE jitted step (lax.scan), summing gradients before a single optimizer
+    # update. The loss is sum-reduced (reference semantics), so N microbatch
+    # gradients sum to the full-batch gradient exactly — the only semantic
+    # difference is BatchNorm batch statistics, computed per microbatch
+    # (standard for accumulation everywhere). Peak activation memory drops
+    # ~N-fold: raise DataConfig.batch_size for a larger effective batch at
+    # fixed HBM. Microbatches are strided slices (i::N) so a data-parallel
+    # mesh stays load-balanced; batch_size must be divisible by
+    # N * data_parallel. 1 disables (bit-identical to the canonical step).
+    grad_accum_steps: int = 1
     # Maintain an exponential moving average of the params (evaluated /
     # served via TrainState.ema_params); None disables.
     ema_decay: Optional[float] = None

@@ -281,6 +281,117 @@ def augment_batch(
     )(imgs, boxes, valid, keys)
 
 
+def _mosaic_one(imgs4, boxes4, valid4, key,
+                center_range: Tuple[float, float], out_size: int):
+    """Compose ONE mosaic from 4 source images (4, H, W, 3 float in [0,1]).
+
+    YOLOv4 mosaic (Bochkovskiy et al. 2020, arXiv:2004.10934), static-shape
+    formulation: a random center (cx, cy) splits the unit square into 4
+    quadrants; source image q is RESIZED into quadrant q (TL, TR, BL, BR) by
+    one ``scale_and_translate`` each, and the output is the quadrant-masked
+    sum — no dynamic slicing, no 2x canvas. Boxes map by the same per-
+    quadrant affine (no clipping needed: each source fits its quadrant
+    whole); sub-pixel boxes are invalidated.
+
+    Returns ``(out_size, out_size, 3)`` image, ``(4*N, 5)`` boxes, ``(4*N,)``
+    validity."""
+    kc = jax.random.split(key, 2)
+    lo, hi = center_range
+    cx = jax.random.uniform(kc[0], (), minval=lo, maxval=hi)
+    cy = jax.random.uniform(kc[1], (), minval=lo, maxval=hi)
+
+    in_size = imgs4.shape[1]
+    # quadrant q: x origin/width, y origin/height (relative units)
+    qx0 = jnp.stack([0.0 * cx, cx, 0.0 * cx, cx])
+    qy0 = jnp.stack([0.0 * cy, 0.0 * cy, cy, cy])
+    qw = jnp.stack([cx, 1.0 - cx, cx, 1.0 - cx])
+    qh = jnp.stack([cy, cy, 1.0 - cy, 1.0 - cy])
+
+    def paste(img, x0, y0, w, h):
+        # map the full source onto [y0, y0+h] x [x0, x0+w] of the output
+        sy = h * out_size / in_size
+        sx = w * out_size / in_size
+        return jax.image.scale_and_translate(
+            img, shape=(out_size, out_size) + img.shape[2:],
+            spatial_dims=(0, 1), scale=jnp.stack([sy, sx]),
+            translation=jnp.stack([y0 * out_size, x0 * out_size]),
+            method="linear")
+
+    pasted = jax.vmap(paste)(imgs4, qx0, qy0, qw, qh)  # (4, S, S, 3)
+    # quadrant ownership mask per output pixel (right/bottom quadrants own
+    # the boundary pixel, matching scale_and_translate's zero-fill outside)
+    ys = (jnp.arange(out_size) + 0.5) / out_size
+    xs = (jnp.arange(out_size) + 0.5) / out_size
+    right = xs[None, :] >= cx
+    bottom = ys[:, None] >= cy
+    owner = (right.astype(jnp.int32)
+             + 2 * bottom.astype(jnp.int32))  # (S, S) in {0,1,2,3}
+    mask = jax.nn.one_hot(owner, 4, axis=0, dtype=pasted.dtype)  # (4, S, S)
+    img = jnp.einsum("qhwc,qhw->hwc", pasted, mask)
+    img = jnp.clip(img, 0.0, 1.0)
+
+    # boxes: source q's (cx, cy, w, h) -> affine into quadrant q
+    bx = boxes4[..., 0] * qw[:, None] + qx0[:, None]
+    by = boxes4[..., 1] * qh[:, None] + qy0[:, None]
+    bw = boxes4[..., 2] * qw[:, None]
+    bh = boxes4[..., 3] * qh[:, None]
+    keep = valid4 & (bw > 1.0 / out_size) & (bh > 1.0 / out_size)
+    out_boxes = jnp.stack([bx, by, bw, bh, boxes4[..., 4]], axis=-1)
+    out_boxes = jnp.where(keep[..., None], out_boxes, 0.0)
+    return img, out_boxes.reshape(-1, 5), keep.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("prob", "center_range", "out_size"))
+def mosaic_batch(
+    images_u8: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    prob: float = 1.0,
+    center_range: Tuple[float, float] = (0.25, 0.75),
+    out_size: int = None,
+):
+    """Batch mosaic augmentation (beyond parity — the reference has no
+    mosaic; YOLOv4 arXiv:2004.10934 §3.1). For each output image b the 4
+    sources are b itself plus 3 draws from independent batch permutations
+    (every image appears in ~4 mosaics per step). Applied per image with
+    probability ``prob``; non-mosaic images pass through (padded to the 4N
+    box slots). Emits uint8 so the standard ``augment_batch``
+    (flip/jitter/crop) composes downstream unchanged.
+
+    Returns ``(B, out, out, 3) u8``, ``(B, 4N, 5)`` boxes, ``(B, 4N)``
+    validity."""
+    b, in_size = images_u8.shape[0], images_u8.shape[1]
+    out_size = in_size if out_size is None else out_size
+    kp, ks, kc = jax.random.split(key, 3)
+    perms = jnp.stack(
+        [jnp.arange(b)]
+        + [jax.random.permutation(k, b) for k in jax.random.split(ks, 3)],
+        axis=1)  # (B, 4) source indices per output image
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    keys = jax.random.split(kc, b)
+    mimg, mboxes, mvalid = jax.vmap(
+        lambda idx, k: _mosaic_one(imgs[idx], boxes[idx], valid[idx], k,
+                                   center_range, out_size)
+    )(perms, keys)
+
+    # pass-through arm, padded to the mosaic's 4N box slots
+    n = boxes.shape[1]
+    pimg = imgs
+    if out_size != in_size:
+        pimg = jax.image.resize(
+            imgs, (b, out_size, out_size, imgs.shape[3]), method="linear")
+    pboxes = jnp.pad(boxes, ((0, 0), (0, 3 * n), (0, 0)))
+    pvalid = jnp.pad(valid, ((0, 0), (0, 3 * n)))
+
+    apply = jax.random.uniform(kp, (b,)) < prob
+    img = jnp.where(apply[:, None, None, None], mimg, pimg)
+    out_boxes = jnp.where(apply[:, None, None], mboxes, pboxes)
+    out_valid = jnp.where(apply[:, None], mvalid, pvalid)
+    img_u8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return img_u8, out_boxes, out_valid
+
+
 @jax.jit
 def preprocess_eval_batch(images_u8: jnp.ndarray) -> jnp.ndarray:
     """Eval path: just Normalize(0,1) — the host already resized, so this is

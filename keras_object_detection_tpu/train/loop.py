@@ -157,8 +157,23 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
 
         freeze_key = BACKBONE_PARAM_KEYS[config.model.backbone]
 
-    def train_step(state: TrainState, images_u8, boxes, valid, rng):
-        akey, dkey = jax.random.split(jax.random.fold_in(rng, state.step))
+    accum = max(getattr(t, "grad_accum_steps", 1) or 1, 1)
+
+    def grads_for(state, batch_stats, images_u8, boxes, valid, akey, dkey):
+        """value_and_grad of the loss at state.params on one (micro)batch.
+
+        Shared by the canonical step (the whole batch) and the gradient-
+        accumulation scan (one microbatch per iteration, batch_stats threaded
+        through the carry)."""
+        if d.mosaic_prob > 0:
+            from keras_object_detection_tpu.data.augment import mosaic_batch
+            akey, mkey = jax.random.split(akey)
+            # mosaic composes at the host/decode resolution, so the standard
+            # crop below still samples at full fidelity; the box budget grows
+            # to 4*max_boxes (static) for the mosaic's combined sources
+            images_u8, boxes, valid = mosaic_batch(
+                images_u8, boxes, valid, mkey, prob=d.mosaic_prob,
+                center_range=tuple(d.mosaic_center_range))
         images, aboxes, avalid = augment_batch(
             images_u8, boxes, valid, akey,
             hflip_prob=d.hflip_prob, color_strengths=tuple(d.color_jitter),
@@ -204,7 +219,7 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                 params = dict(params)
                 params[freeze_key] = jax.tree_util.tree_map(
                     jax.lax.stop_gradient, params[freeze_key])
-            y_pred, updates = forward(params, state.batch_stats, images)
+            y_pred, updates = forward(params, batch_stats, images)
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             if t.use_pallas_loss:
                 from keras_object_detection_tpu.ops.pallas_loss import (
@@ -228,8 +243,49 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     t.box_loss_mode)
             return terms["total"], (terms, updates["batch_stats"])
 
-        (loss, (terms, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    def train_step(state: TrainState, images_u8, boxes, valid, rng):
+        akey, dkey = jax.random.split(jax.random.fold_in(rng, state.step))
+        if accum == 1:
+            (_, (terms, new_stats)), grads = grads_for(
+                state, state.batch_stats, images_u8, boxes, valid, akey, dkey)
+        else:
+            b = images_u8.shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"grad_accum_steps={accum} must divide the "
+                    f"batch size {b}")
+
+            def strided(x):
+                # microbatch i = rows (i::accum): each data-parallel shard
+                # contributes equally, so no device idles during the scan
+                r = x.reshape((b // accum, accum) + x.shape[1:])
+                return jnp.moveaxis(r, 1, 0)
+
+            xs = (strided(images_u8), strided(boxes), strided(valid),
+                  jnp.arange(accum))
+            term_keys = ("total",) if t.use_pallas_loss else (
+                "box_loss", "object_loss", "no_object_loss", "class_loss",
+                "total")
+            carry0 = (state.batch_stats,
+                      jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                      {k: jnp.zeros((), jnp.float32) for k in term_keys})
+
+            def body(carry, x):
+                stats, gsum, tsum = carry
+                im, bx, vl, i = x
+                (_, (mterms, new_stats)), g = grads_for(
+                    state, stats, im, bx, vl,
+                    jax.random.fold_in(akey, i), jax.random.fold_in(dkey, i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                # sum-reduced loss: microbatch sums add up to exactly the
+                # full-batch terms, so metrics keep the canonical scale
+                tsum = {k: tsum[k] + mterms[k].astype(jnp.float32)
+                        for k in term_keys}
+                return (new_stats, gsum, tsum), None
+
+            (new_stats, grads, terms), _ = jax.lax.scan(body, carry0, xs)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         if t.ema_decay is not None:
             decay = t.ema_decay
@@ -361,6 +417,12 @@ class Trainer:
             raise ValueError(
                 f"batch_size {config.data.batch_size} must be divisible by "
                 f"the data-parallel mesh size {dp}")
+        accum = max(config.train.grad_accum_steps or 1, 1)
+        if config.data.batch_size % (accum * dp) != 0:
+            raise ValueError(
+                f"batch_size {config.data.batch_size} must be divisible by "
+                f"grad_accum_steps * data_parallel = {accum}*{dp} so strided "
+                f"microbatches stay shard-balanced")
         self._batch_sharding = batch_sharding(self.mesh, config.mesh.data_axis)
         self._replicated = replicated_sharding(self.mesh)
 

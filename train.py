@@ -79,6 +79,14 @@ def parse_args():
                         "of the backbone stride). Eval stays at --image-size")
     p.add_argument("--multiscale-every", type=int,
                    help="re-draw the multiscale size every N epochs")
+    p.add_argument("--mosaic", type=float, metavar="PROB",
+                   help="mosaic augmentation probability per image "
+                        "(YOLOv4-style 4-image quadrant compose, on-device; "
+                        "0 disables)")
+    p.add_argument("--grad-accum", type=int, metavar="N",
+                   help="split each batch into N microbatches inside the "
+                        "jitted step (summed gradients, one update): ~N-fold "
+                        "lower activation memory, so --batch-size can grow")
     return p.parse_args()
 
 
@@ -111,14 +119,16 @@ def build_config(args):
                   cache_dir=args.cache_dir,
                   device_cache=args.device_cache or None,
                   device_cache_layout=args.device_cache_layout,
-                  train_decode_size=args.train_decode_size),
+                  train_decode_size=args.train_decode_size,
+                  mosaic_prob=args.mosaic),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed,
                    multiscale_sizes=(tuple(int(s) for s in
                                            args.multiscale.split(","))
                                      if args.multiscale else None),
-                   multiscale_every=args.multiscale_every),
+                   multiscale_every=args.multiscale_every,
+                   grad_accum_steps=args.grad_accum),
         mesh=over(cfg.mesh, data_parallel=args.data_parallel),
     )
 
