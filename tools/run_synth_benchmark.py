@@ -75,6 +75,12 @@ def main():
                    help="leaky_relu = the paper's LeakyReLU(0.1)")
     p.add_argument("--box-loss", default="mse", choices=("mse", "diou", "ciou", "alpha_iou"),
                    help="diou = Distance-IoU box regression (beyond-parity)")
+    p.add_argument("--mosaic", type=float, default=0.0,
+                   help="mosaic augmentation probability per image")
+    p.add_argument("--multiscale", default="",
+                   help="comma-separated multiscale training sizes")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
     p.add_argument("--pallas-loss", action="store_true",
                    help="train with the fused Pallas loss kernel "
                         "(use_pallas_loss=True) — soak-test path")
@@ -112,7 +118,8 @@ def main():
             val_dir=os.path.join(args.data, "val"),
             batch_size=args.batch_size, max_boxes_per_image=8,
             cache_in_memory=True, device_cache=args.device_cache,
-            train_decode_size=args.decode_size),
+            train_decode_size=args.decode_size,
+            mosaic_prob=args.mosaic),
         train=TrainConfig(
             epochs=args.epochs, optimizer="adam",
             schedule=ScheduleConfig(
@@ -132,6 +139,9 @@ def main():
             ema_decay=args.ema,
             save_cooldown_epochs=args.save_cooldown,
             use_pallas_loss=args.pallas_loss,
+            multiscale_sizes=(tuple(int(x) for x in args.multiscale.split(","))
+                              if args.multiscale else ()),
+            grad_accum_steps=args.grad_accum,
             seed=args.seed),
         # learned boxes surface earlier at a lower serving threshold; padded
         # partial batches are masked out of the metrics (80 % 16 == 0 here,
@@ -143,8 +153,11 @@ def main():
     with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    ms_max = max([int(x) for x in args.multiscale.split(",")] or [0]) \
+        if args.multiscale else 0
     train_ds = YoloDataset(cfg.data.train_dir,
-                           cfg.data.train_input_size(args.image_size),
+                           cfg.data.train_input_size(
+                               max(args.image_size, ms_max)),
                            args.batch_size, max_boxes=8, shuffle=True,
                            seed=args.seed, cache_in_memory=True)
     val_ds = YoloDataset(cfg.data.val_dir, args.image_size, args.batch_size,
@@ -174,6 +187,9 @@ def main():
         schedule=args.schedule,
         activation=args.activation,
         box_loss=args.box_loss,
+        mosaic_prob=args.mosaic,
+        multiscale=args.multiscale,
+        grad_accum=args.grad_accum,
         schedule_params={
             "base_lr": args.lr, "t_max": args.t_max, "t_mult": args.t_mult,
             "decay": args.decay, "eta_min": args.eta_min}
