@@ -60,6 +60,10 @@ def main():
                         "(confidence decay instead of deletion)")
     p.add_argument("--soft-nms-sigma", type=float, default=None,
                    help="gaussian Soft-NMS decay scale (EvalConfig.soft_nms_sigma)")
+    p.add_argument("--tta", choices=("none", "hflip"), default=None,
+                   help="test-time augmentation for serving: hflip forwards "
+                        "the mirror too and NMS merges the union "
+                        "(EvalConfig.tta)")
     p.add_argument("--serving", choices=("float", "int8", "auto"),
                    default="float",
                    help="single-image serving path: float (default), true-"
@@ -86,7 +90,7 @@ def main():
     if not os.path.exists(cfg_path):
         raise SystemExit(f"error: {cfg_path} not found (written by train.py)")
     cfg = Config.from_json(open(cfg_path).read())
-    if args.nms_mode or args.soft_nms_sigma is not None:
+    if args.nms_mode or args.soft_nms_sigma is not None or args.tta:
         import dataclasses
 
         ev = cfg.eval
@@ -94,6 +98,8 @@ def main():
             ev = dataclasses.replace(ev, nms_mode=args.nms_mode)
         if args.soft_nms_sigma is not None:
             ev = dataclasses.replace(ev, soft_nms_sigma=args.soft_nms_sigma)
+        if args.tta:
+            ev = dataclasses.replace(ev, tta=args.tta)
         cfg = dataclasses.replace(cfg, eval=ev)
 
     template = jax.device_get(

@@ -262,6 +262,12 @@ class EvalConfig:
     # pads it, so padded images otherwise add phantom no-object loss terms
     # and spurious detections).
     mask_padded_images: bool = False
+    # Test-time augmentation for the serving path (InferenceModel /
+    # evaluate.py --tta). "none" = reference parity. "hflip" = forward the
+    # image AND its mirror in the same jit program, un-flip the mirrored
+    # detections, and let NMS merge the union (2*S*S candidates) —
+    # the standard detection TTA; ~2x forward FLOPs per call.
+    tta: str = "none"
     # Opt-in: on every mAP epoch, additionally log the COCO-style
     # mAP@[.50:.95] sweep (val_mAP_coco + per-threshold keys). Rides the
     # already-accumulated decode+NMS box sets — one extra compiled matcher

@@ -58,8 +58,21 @@ class InferenceModel:
             return y.reshape((-1,) + g.output_shape)
 
         def forward_decode(variables, images_u8):
-            return decode_grid(forward(variables, images_u8), g.num_classes,
-                               g.num_boxes, g.grid)
+            boxes = decode_grid(forward(variables, images_u8), g.num_classes,
+                                g.num_boxes, g.grid)
+            if e.tta == "hflip":
+                # TTA: forward the mirror in the SAME jit program, un-flip
+                # its detections (cx -> 1-cx; layout [cls, conf, cx, cy,
+                # w, h]) and hand NMS the union — 2*S*S candidates.
+                fb = decode_grid(
+                    forward(variables, images_u8[:, :, ::-1, :]),
+                    g.num_classes, g.num_boxes, g.grid)
+                fb = fb.at[..., 2].set(1.0 - fb[..., 2])
+                boxes = jnp.concatenate([boxes, fb], axis=1)
+            elif e.tta != "none":
+                raise ValueError(f"unknown EvalConfig.tta {e.tta!r} "
+                                 "(expected 'none' or 'hflip')")
+            return boxes
 
         def forward_decode_nms(variables, images_u8):
             boxes = forward_decode(variables, images_u8)
