@@ -98,6 +98,13 @@ class DataConfig:
     mosaic_prob: float = 0.0
     # Uniform range the mosaic center is drawn from (relative units).
     mosaic_center_range: Tuple[float, float] = (0.25, 0.75)
+    # Detection mixup (beyond parity; arXiv:1902.04103 §3.1): per-image
+    # probability of blending with a permutation partner (λ ~ Beta(alpha,
+    # alpha) folded into [0.5, 1]) keeping the box UNION. Composes with
+    # mosaic (applied after it, before the reference flip/jitter/crop); the
+    # per-image box budget doubles inside the step. 0.0 disables.
+    mixup_prob: float = 0.0
+    mixup_alpha: float = 1.5
     max_boxes_per_image: int = 64  # static padding bound for on-device encode
     prefetch: int = 2
     num_workers: int = 8

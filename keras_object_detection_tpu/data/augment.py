@@ -392,6 +392,47 @@ def mosaic_batch(
     return img_u8, out_boxes, out_valid
 
 
+@partial(jax.jit, static_argnames=("prob", "alpha"))
+def mixup_batch(
+    images_u8: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    prob: float = 1.0,
+    alpha: float = 1.5,
+):
+    """Detection mixup (beyond parity — the reference has no mixup; the
+    detection variant of mixup keeps the box UNION rather than soft labels,
+    as in Zhang et al. 2019 arXiv:1902.04103 "Bag of Freebies" §3.1).
+
+    Each image blends with a permutation partner: ``img = λ·x + (1-λ)·x̂``
+    with ``λ ~ Beta(alpha, alpha)`` per image, and BOTH images' boxes are
+    kept (the YOLO loss has no per-box weight, so the union is the exact
+    formulation). Applied per image with probability ``prob``; pass-through
+    images keep their boxes in the first N slots with the partner half
+    invalid. Returns ``(B,H,W,3) u8``, ``(B, 2N, 5)`` boxes, ``(B, 2N)``.
+    """
+    b, n = boxes.shape[0], boxes.shape[1]
+    kp, kperm, klam = jax.random.split(key, 3)
+    perm = jax.random.permutation(kperm, b)
+    lam = jax.random.beta(klam, alpha, alpha, (b,))
+    # symmetric blend: fold λ into [0.5, 1] so the "primary" image dominates
+    # (keeps the pass-through arm continuous as prob -> 0)
+    lam = jnp.maximum(lam, 1.0 - lam)
+    apply = jax.random.uniform(kp, (b,)) < prob
+
+    x = images_u8.astype(jnp.float32)
+    mixed = lam[:, None, None, None] * x + (1 - lam)[:, None, None, None] * x[perm]
+    img = jnp.where(apply[:, None, None, None], mixed, x)
+    img_u8 = jnp.round(jnp.clip(img, 0.0, 255.0)).astype(jnp.uint8)
+
+    out_boxes = jnp.concatenate([boxes, boxes[perm]], axis=1)
+    out_valid = jnp.concatenate(
+        [valid, valid[perm] & apply[:, None]], axis=1)
+    out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
+    return img_u8, out_boxes, out_valid
+
+
 @jax.jit
 def preprocess_eval_batch(images_u8: jnp.ndarray) -> jnp.ndarray:
     """Eval path: just Normalize(0,1) — the host already resized, so this is

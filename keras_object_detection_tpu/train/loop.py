@@ -174,6 +174,12 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
             images_u8, boxes, valid = mosaic_batch(
                 images_u8, boxes, valid, mkey, prob=d.mosaic_prob,
                 center_range=tuple(d.mosaic_center_range))
+        if getattr(d, "mixup_prob", 0.0) > 0:
+            from keras_object_detection_tpu.data.augment import mixup_batch
+            akey, xkey = jax.random.split(akey)
+            images_u8, boxes, valid = mixup_batch(
+                images_u8, boxes, valid, xkey, prob=d.mixup_prob,
+                alpha=d.mixup_alpha)
         images, aboxes, avalid = augment_batch(
             images_u8, boxes, valid, akey,
             hflip_prob=d.hflip_prob, color_strengths=tuple(d.color_jitter),

@@ -77,6 +77,8 @@ def main():
                    help="diou = Distance-IoU box regression (beyond-parity)")
     p.add_argument("--mosaic", type=float, default=0.0,
                    help="mosaic augmentation probability per image")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="detection mixup probability per image")
     p.add_argument("--multiscale", default="",
                    help="comma-separated multiscale training sizes")
     p.add_argument("--grad-accum", type=int, default=1,
@@ -119,7 +121,8 @@ def main():
             batch_size=args.batch_size, max_boxes_per_image=8,
             cache_in_memory=True, device_cache=args.device_cache,
             train_decode_size=args.decode_size,
-            mosaic_prob=args.mosaic),
+            mosaic_prob=args.mosaic,
+        mixup_prob=args.mixup, mixup_prob=args.mixup),
         train=TrainConfig(
             epochs=args.epochs, optimizer="adam",
             schedule=ScheduleConfig(
@@ -188,6 +191,7 @@ def main():
         activation=args.activation,
         box_loss=args.box_loss,
         mosaic_prob=args.mosaic,
+        mixup_prob=args.mixup,
         multiscale=args.multiscale,
         grad_accum=args.grad_accum,
         schedule_params={

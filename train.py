@@ -83,6 +83,9 @@ def parse_args():
                    help="mosaic augmentation probability per image "
                         "(YOLOv4-style 4-image quadrant compose, on-device; "
                         "0 disables)")
+    p.add_argument("--mixup", type=float, metavar="PROB",
+                   help="detection mixup probability per image (blend with a "
+                        "partner, keep the box union; 0 disables)")
     p.add_argument("--grad-accum", type=int, metavar="N",
                    help="split each batch into N microbatches inside the "
                         "jitted step (summed gradients, one update): ~N-fold "
@@ -120,7 +123,7 @@ def build_config(args):
                   device_cache=args.device_cache or None,
                   device_cache_layout=args.device_cache_layout,
                   train_decode_size=args.train_decode_size,
-                  mosaic_prob=args.mosaic),
+                  mosaic_prob=args.mosaic, mixup_prob=args.mixup),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
                    log_dir=args.log_dir, seed=args.seed,
