@@ -60,6 +60,9 @@ def main():
                         "(confidence decay instead of deletion)")
     p.add_argument("--soft-nms-sigma", type=float, default=None,
                    help="gaussian Soft-NMS decay scale (EvalConfig.soft_nms_sigma)")
+    p.add_argument("--avg-ckpts", type=int, metavar="K", default=0,
+                   help="serve the uniform average of the newest K retained "
+                        "checkpoints (SWA-style) instead of the single best")
     p.add_argument("--tta", choices=("none", "hflip"), default=None,
                    help="test-time augmentation for serving: hflip forwards "
                         "the mirror too and NMS merges the union "
@@ -105,9 +108,17 @@ def main():
     template = jax.device_get(
         create_train_state(cfg, jax.random.PRNGKey(0)))
     ckpt = CheckpointManager(args.checkpoint_dir)
-    state = ckpt.restore(template)  # best checkpoint (ref evaluate.py:21)
-    print(f"restored checkpoint step={int(state.step)} "
-          f"(best={ckpt.best_step}, latest={ckpt.latest_step})")
+    if args.avg_ckpts:
+        from keras_object_detection_tpu.train.checkpoint import (
+            average_checkpoints)
+
+        state = average_checkpoints(ckpt, template, last_k=args.avg_ckpts)
+        print(f"serving the average of the newest {args.avg_ckpts} "
+              f"checkpoints {ckpt.all_steps[-args.avg_ckpts:]}")
+    else:
+        state = ckpt.restore(template)  # best checkpoint (ref evaluate.py:21)
+        print(f"restored checkpoint step={int(state.step)} "
+              f"(best={ckpt.best_step}, latest={ckpt.latest_step})")
 
     params = state.params
     if args.use_ema:

@@ -73,6 +73,10 @@ class CheckpointManager:
             return state_template.replace(**restored)
 
     @property
+    def all_steps(self) -> list:
+        return sorted(self._mgr.all_steps())
+
+    @property
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
@@ -93,3 +97,38 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def average_checkpoints(manager: CheckpointManager, state_template: Any,
+                        steps: Optional[list] = None, last_k: int = 0) -> Any:
+    """Uniform checkpoint averaging (SWA-flavored serving trick, beyond
+    parity — the reference serves a single best checkpoint,
+    ref train.py:150-157): average ``params`` (and ``ema_params`` /
+    ``batch_stats`` when present) across checkpoints.
+
+    ``steps``: explicit checkpoint steps; default = all retained, or the
+    newest ``last_k`` of them when given. Optimizer state / step counter come
+    from the NEWEST averaged checkpoint (averaging optimizer moments across
+    epochs is meaningless). Averaging BN running stats is the standard SWA
+    approximation — exact SWA would re-estimate them with a data pass.
+    """
+    import jax
+
+    if steps is None:
+        steps = manager.all_steps
+        if last_k:
+            steps = steps[-last_k:]
+    if not steps:
+        raise FileNotFoundError("no checkpoints to average")
+    states = [manager.restore(state_template, step=s) for s in sorted(steps)]
+
+    def mean(*leaves):
+        return sum(leaves[1:], leaves[0]) / len(leaves)
+
+    out = states[-1]
+    for field in ("params", "batch_stats", "ema_params"):
+        vals = [getattr(s, field, None) for s in states]
+        if any(v is None for v in vals):
+            continue
+        out = out.replace(**{field: jax.tree_util.tree_map(mean, *vals)})
+    return out
