@@ -139,7 +139,8 @@ def main():
 
     if args.image:
         img, _, _ = load_example(args.image, cfg.model.image_size,
-                                 cfg.data.max_boxes_per_image)
+                                 cfg.data.max_boxes_per_image,
+                                 letterbox=cfg.data.letterbox)
         lat = model.benchmark_latency(img[None], runs=args.latency_runs)
         print(f"fused forward+decode+NMS: p50 {lat['p50_ms']:.2f} ms "
               f"(min {lat['min_ms']:.2f}, mean {lat['mean_ms']:.2f}, batch 1)")
@@ -179,7 +180,8 @@ def main():
         for start in range(0, len(paths), bs):
             chunk = paths[start:start + bs]
             imgs = np.stack([load_example(p, cfg.model.image_size,
-                                          cfg.data.max_boxes_per_image)[0]
+                                          cfg.data.max_boxes_per_image,
+                                          letterbox=cfg.data.letterbox)[0]
                              for p in chunk])
             # pad the final partial batch so the jitted program keeps ONE
             # static shape (a second compile costs more than the padded rows)
@@ -220,7 +222,8 @@ def main():
         ds = YoloDataset(args.data_dir, cfg.model.image_size,
                          cfg.data.batch_size,
                          max_boxes=cfg.data.max_boxes_per_image,
-                         cache_dir=args.cache_dir)
+                         cache_dir=args.cache_dir,
+                         letterbox=cfg.data.letterbox)
         # --use-ema is the single source of truth here, matching the
         # single-image path above (config eval_with_ema only governs
         # in-training validation).

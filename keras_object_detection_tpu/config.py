@@ -89,6 +89,12 @@ class DataConfig:
     crop_scale: Tuple[float, float] = (0.8, 1.0)
     crop_ratio: Tuple[float, float] = (0.75, 1.3333333333333333)
     min_visibility: float = 0.1
+    # Aspect-preserving letterbox input (beyond parity — the reference's
+    # square resize distorts aspect, ref dataset.py:143-146): resize keeping
+    # aspect + centered gray padding, boxes remapped consistently for train,
+    # eval, and serving (unletterbox_detections maps detections back to
+    # original-photo ratios).
+    letterbox: bool = False
     # Mosaic augmentation (beyond parity; YOLOv4 arXiv:2004.10934): per-image
     # probability of composing the training image from 4 batch images resized
     # into the quadrants of a random center point. Runs on-device BEFORE the

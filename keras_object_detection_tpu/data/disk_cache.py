@@ -30,10 +30,12 @@ from keras_object_detection_tpu.data.reader import load_example
 META_NAME = "meta.json"
 
 
-def _meta_for(paths: List[str], image_size: int, max_boxes: int) -> dict:
+def _meta_for(paths: List[str], image_size: int, max_boxes: int,
+              letterbox: bool = False) -> dict:
     return {
         "version": 1,
         "image_size": image_size,
+        "letterbox": letterbox,
         "max_boxes": max_boxes,
         "count": len(paths),
         "paths": [os.path.basename(p) for p in paths],
@@ -60,10 +62,11 @@ class DiskCache:
 
 
 def open_or_build(paths: List[str], image_size: int, max_boxes: int,
-                  cache_dir: str, verbose: bool = False) -> DiskCache:
+                  cache_dir: str, verbose: bool = False,
+                  letterbox: bool = False) -> DiskCache:
     """Return a valid ``DiskCache`` for ``paths``, (re)building if the cache
     is absent or stale (different size/boxes/file set/mtimes)."""
-    want = _meta_for(paths, image_size, max_boxes)
+    want = _meta_for(paths, image_size, max_boxes, letterbox)
     meta_path = os.path.join(cache_dir, META_NAME)
     if os.path.exists(meta_path):
         try:
@@ -82,7 +85,7 @@ def open_or_build(paths: List[str], image_size: int, max_boxes: int,
     valid = np.memmap(os.path.join(cache_dir, "valid.u8"), np.uint8, "w+",
                       shape=(n, m))
     for i, p in enumerate(paths):
-        img, bx, vl = load_example(p, s, m)
+        img, bx, vl = load_example(p, s, m, letterbox=letterbox)
         images[i], boxes[i], valid[i] = img, bx, vl.astype(np.uint8)
         if verbose and (i + 1) % 500 == 0:
             print(f"disk cache: {i + 1}/{n} decoded", flush=True)

@@ -49,6 +49,7 @@ class YoloDataset:
         shard_count: int = 1,
         cache_in_memory: bool = False,
         cache_dir: Optional[str] = None,
+        letterbox: bool = False,
     ):
         """``shard_index``/``shard_count``: multi-host input sharding — each
         host reads a disjoint strided slice of the file list (the DCN-scale
@@ -65,7 +66,12 @@ class YoloDataset:
         ``cache_dir``: decode-ahead DISK cache (``data/disk_cache.py``) for
         datasets too big for RAM — images are decoded once into a uint8
         memmap (built eagerly on construction if absent/stale) and epochs
-        read raw bytes instead of re-decoding JPEGs."""
+        read raw bytes instead of re-decoding JPEGs.
+
+        ``letterbox``: aspect-preserving resize with centered gray padding
+        and consistent box remap (beyond parity — the reference's square
+        resize distorts aspect, ref dataset.py:143-146). Recorded in the
+        disk cache's validity key, so flipping it rebuilds the cache."""
         paths = np.array(list_examples(data_dir))
         if shard_count > 1:
             paths = paths[shard_index::shard_count]
@@ -75,6 +81,7 @@ class YoloDataset:
         self.image_size = image_size
         self.batch_size = batch_size
         self.max_boxes = max_boxes
+        self.letterbox = letterbox
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
@@ -86,7 +93,8 @@ class YoloDataset:
                 open_or_build)
 
             self._disk = open_or_build(list(self.paths), image_size,
-                                       max_boxes, cache_dir)
+                                       max_boxes, cache_dir,
+                                       letterbox=letterbox)
             self._disk_index = {p: i for i, p in enumerate(self.paths)}
 
     def __len__(self) -> int:
@@ -107,7 +115,8 @@ class YoloDataset:
         if self._disk is not None:
             ex = self._disk.load(self._disk_index[path])
         else:
-            ex = load_example(path, self.image_size, self.max_boxes)
+            ex = load_example(path, self.image_size, self.max_boxes,
+                              letterbox=self.letterbox)
         if self._cache is not None:
             self._cache[path] = ex
         return ex

@@ -58,17 +58,81 @@ def read_yolo_labels(label_path: str) -> np.ndarray:
     return np.asarray(rows, np.float32)
 
 
+LETTERBOX_PAD = 114  # the conventional detection gray fill
+
+
+def letterbox_geometry(h: int, w: int, image_size: int):
+    """The aspect-preserving placement of an (h, w) image inside an
+    ``image_size`` square: ``(new_h, new_w, pad_y, pad_x)`` with the content
+    centered (left/top pads floor the split)."""
+    scale = image_size / max(h, w)
+    nh = max(1, round(h * scale))
+    nw = max(1, round(w * scale))
+    return nh, nw, (image_size - nh) // 2, (image_size - nw) // 2
+
+
+def letterbox_image(img: np.ndarray, image_size: int) -> np.ndarray:
+    """Aspect-preserving resize + centered gray padding to a square."""
+    nh, nw, py, px = letterbox_geometry(img.shape[0], img.shape[1], image_size)
+    if _HAS_CV2:
+        resized = cv2.resize(img, (nw, nh))
+    else:  # pragma: no cover
+        resized = np.asarray(Image.fromarray(img).resize((nw, nh)))
+    out = np.full((image_size, image_size, 3), LETTERBOX_PAD, np.uint8)
+    out[py:py + nh, px:px + nw] = resized
+    return out
+
+
+def letterbox_boxes(boxes: np.ndarray, h: int, w: int,
+                    image_size: int) -> np.ndarray:
+    """Remap ``(N, 5) [cx, cy, w, h, cls]`` boxes (ratios of the ORIGINAL
+    (h, w) image) into letterboxed-square ratios, using the exact rounded
+    placement so boxes stay aligned with the resized pixels."""
+    nh, nw, py, px = letterbox_geometry(h, w, image_size)
+    out = boxes.copy()
+    out[:, 0] = (boxes[:, 0] * nw + px) / image_size
+    out[:, 1] = (boxes[:, 1] * nh + py) / image_size
+    out[:, 2] = boxes[:, 2] * nw / image_size
+    out[:, 3] = boxes[:, 3] * nh / image_size
+    return out
+
+
+def unletterbox_detections(dets: np.ndarray, h: int, w: int,
+                           image_size: int) -> np.ndarray:
+    """Inverse mapping for serving: ``(N, 6) [cls, conf, cx, cy, w, h]``
+    detections in letterboxed ratios -> ratios of the original (h, w)
+    image (for drawing/reporting on the un-padded photo)."""
+    nh, nw, py, px = letterbox_geometry(h, w, image_size)
+    out = dets.copy()
+    out[:, 2] = (dets[:, 2] * image_size - px) / nw
+    out[:, 3] = (dets[:, 3] * image_size - py) / nh
+    out[:, 4] = dets[:, 4] * image_size / nw
+    out[:, 5] = dets[:, 5] * image_size / nh
+    return out
+
+
 def load_example(
-    img_path: str, image_size: int, max_boxes: int
+    img_path: str, image_size: int, max_boxes: int, letterbox: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one jpg + labels to fixed shapes.
 
     Returns ``(image_u8 (H, W, 3) RGB resized to image_size,
-    boxes (max_boxes, 5), valid (max_boxes,))``. The resize is bilinear
-    (cv2 default), matching the reference eval transform ``A.Resize``
-    (ref dataset.py:143-146); normalization to [0, 1] happens on-device.
+    boxes (max_boxes, 5), valid (max_boxes,))``. The default resize is
+    square bilinear (cv2 default), matching the reference eval transform
+    ``A.Resize`` (ref dataset.py:143-146) — it distorts aspect.
+    ``letterbox=True`` (beyond parity) preserves aspect with centered gray
+    padding and remaps the boxes consistently; normalization to [0, 1]
+    happens on-device either way.
     """
-    if _USE_NATIVE and _native.available():
+    if letterbox:
+        if _HAS_CV2:
+            img = cv2.imread(img_path)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:  # pragma: no cover
+            img = np.asarray(Image.open(img_path).convert("RGB"))
+        h, w = img.shape[:2]
+        img = letterbox_image(img, image_size)
+    elif _USE_NATIVE and _native.available():
         img = _native.decode_resize_file(img_path, image_size, image_size)
     elif _HAS_CV2:
         img = cv2.imread(img_path)
@@ -80,6 +144,8 @@ def load_example(
         )
 
     raw = read_yolo_labels(os.path.splitext(img_path)[0] + ".txt")
+    if letterbox and len(raw):
+        raw = letterbox_boxes(raw, h, w, image_size)
     n = min(len(raw), max_boxes)
     boxes = np.zeros((max_boxes, 5), np.float32)
     valid = np.zeros((max_boxes,), bool)

@@ -80,7 +80,7 @@ def main():
 
     ds = YoloDataset(args.data, cfg.model.image_size, args.batch_size,
                      max_boxes=args.max_boxes, shuffle=False,
-                     drop_remainder=False)
+                     drop_remainder=False, letterbox=cfg.data.letterbox)
     tb, tv, pb, pv = [], [], [], []
     seen = 0
     for images, boxes, valid in ds.epoch():

@@ -79,6 +79,9 @@ def parse_args():
                         "of the backbone stride). Eval stays at --image-size")
     p.add_argument("--multiscale-every", type=int,
                    help="re-draw the multiscale size every N epochs")
+    p.add_argument("--letterbox", action="store_true",
+                   help="aspect-preserving resize with gray padding instead "
+                        "of the reference's distorting square resize")
     p.add_argument("--mosaic", type=float, metavar="PROB",
                    help="mosaic augmentation probability per image "
                         "(YOLOv4-style 4-image quadrant compose, on-device; "
@@ -123,6 +126,7 @@ def build_config(args):
                   device_cache=args.device_cache or None,
                   device_cache_layout=args.device_cache_layout,
                   train_decode_size=args.train_decode_size,
+                  letterbox=args.letterbox or None,
                   mosaic_prob=args.mosaic, mixup_prob=args.mixup),
         train=over(cfg.train, epochs=args.epochs, optimizer=args.optimizer,
                    schedule=sched, checkpoint_dir=args.checkpoint_dir,
@@ -164,11 +168,12 @@ def main():
         drop_remainder=cfg.data.drop_remainder,
         num_workers=cfg.data.num_workers, seed=cfg.train.seed,
         cache_in_memory=cfg.data.cache_in_memory,
-        cache_dir=cache_sub("train"))
+        cache_dir=cache_sub("train"), letterbox=cfg.data.letterbox)
     val_ds = YoloDataset(
         cfg.data.val_dir, cfg.model.image_size, cfg.data.batch_size,
         max_boxes=cfg.data.max_boxes_per_image,
-        num_workers=cfg.data.num_workers, cache_dir=cache_sub("val"))
+        num_workers=cfg.data.num_workers, cache_dir=cache_sub("val"),
+        letterbox=cfg.data.letterbox)
 
     trainer = Trainer(cfg)
 
@@ -213,7 +218,8 @@ def main():
         best = trainer.ckpt.restore(__import__("jax").device_get(state))
         test_ds = YoloDataset(
             cfg.data.test_dir, cfg.model.image_size, cfg.data.batch_size,
-            max_boxes=cfg.data.max_boxes_per_image)
+            max_boxes=cfg.data.max_boxes_per_image,
+            letterbox=cfg.data.letterbox)
         results = trainer.evaluate(best, test_ds)
         print("test results:", results)
     trainer.ckpt.close()
