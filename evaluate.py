@@ -85,8 +85,6 @@ def main():
     from keras_object_detection_tpu.data.reader import load_example
     from keras_object_detection_tpu.data.pipeline import YoloDataset
     from keras_object_detection_tpu.eval.evaluator import Evaluator, InferenceModel
-    from keras_object_detection_tpu.train.checkpoint import CheckpointManager
-    from keras_object_detection_tpu.train.loop import create_train_state
     from keras_object_detection_tpu.utils.viz import get_grid_tagged_img, get_tagged_img
 
     cfg_path = os.path.join(args.checkpoint_dir, "config.json")
@@ -105,28 +103,15 @@ def main():
             ev = dataclasses.replace(ev, tta=args.tta)
         cfg = dataclasses.replace(cfg, eval=ev)
 
-    template = jax.device_get(
-        create_train_state(cfg, jax.random.PRNGKey(0)))
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    if args.avg_ckpts:
-        from keras_object_detection_tpu.train.checkpoint import (
-            average_checkpoints)
+    from keras_object_detection_tpu.eval.evaluator import load_serving_state
 
-        state = average_checkpoints(ckpt, template, last_k=args.avg_ckpts)
-        print(f"serving the average of the newest {args.avg_ckpts} "
-              f"checkpoints {ckpt.all_steps[-args.avg_ckpts:]}")
-    else:
-        state = ckpt.restore(template)  # best checkpoint (ref evaluate.py:21)
-        print(f"restored checkpoint step={int(state.step)} "
-              f"(best={ckpt.best_step}, latest={ckpt.latest_step})")
-
-    params = state.params
-    if args.use_ema:
-        if state.ema_params is None:
-            raise SystemExit("error: checkpoint has no EMA params "
-                             "(train with TrainConfig.ema_decay)")
-        params = state.ema_params
-        print("serving EMA parameters")
+    try:  # best checkpoint / newest-K average / EMA (ref evaluate.py:21)
+        state, params, info = load_serving_state(
+            cfg, args.checkpoint_dir, avg_ckpts=args.avg_ckpts,
+            use_ema=args.use_ema)
+    except ValueError as exc:
+        raise SystemExit(f"error: {exc}")
+    print(f"restored checkpoint: {info}")
     if args.serving == "float":
         model = InferenceModel(cfg, params, state.batch_stats)
     else:
@@ -149,8 +134,20 @@ def main():
         print(f"staged model->decode->NMS:  p50 {staged['p50_ms']:.2f} ms "
               f"(the reference's two-variant comparison, ref evaluate.py:37-47)")
         kept = model.predict_single(img)
+        printed = kept
+        if cfg.data.letterbox and len(kept):
+            # report in ratios of the ORIGINAL photo (the tagged image below
+            # stays in the letterboxed frame it is drawn on)
+            from PIL import Image
+
+            from keras_object_detection_tpu.data.reader import (
+                unletterbox_detections)
+
+            w0, h0 = Image.open(args.image).size
+            printed = unletterbox_detections(kept, h0, w0,
+                                             cfg.model.image_size)
         print(f"detections ({len(kept)}):")
-        for b in kept:
+        for b in printed:
             print(f"  class={int(b[0])} conf={b[1]:.3f} "
                   f"box=({b[2]:.3f}, {b[3]:.3f}, {b[4]:.3f}, {b[5]:.3f})")
         if args.names:
@@ -192,10 +189,23 @@ def main():
             boxes, valid = model.predict(imgs)
             for i, path in enumerate(chunk):
                 kept = boxes[i][valid[i]]
+                # box_cxcywh is ALWAYS in ratios of the ORIGINAL photo: the
+                # square resize preserves ratios as-is; the letterbox path
+                # inverts the pad/scale placement per image
+                report = kept
+                if cfg.data.letterbox and len(kept):
+                    from PIL import Image
+
+                    from keras_object_detection_tpu.data.reader import (
+                        unletterbox_detections)
+
+                    w0, h0 = Image.open(path).size  # header-only read
+                    report = unletterbox_detections(
+                        kept, h0, w0, cfg.model.image_size)
                 detections[os.path.basename(path)] = [
                     {"class": int(b[0]), "confidence": round(float(b[1]), 4),
                      "box_cxcywh": [round(float(v), 5) for v in b[2:6]]}
-                    for b in kept]
+                    for b in report]
                 if args.tag_dir and args.names:
                     draw = (get_grid_tagged_img if args.grid_overlay
                             else get_tagged_img)

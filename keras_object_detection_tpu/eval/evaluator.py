@@ -137,8 +137,20 @@ class InferenceModel:
                 nms = jax.jit(
                     lambda b: _nms(b, e.iou_threshold, e.conf_threshold))
 
-            def run(x):
-                return nms(decode(self._forward(self._variables, x)))
+            if e.tta == "hflip":
+                # keep staged/fused comparable: the staged variant pays the
+                # mirror forward + un-flip + union too
+                unflip = jax.jit(lambda b: b.at[..., 2].set(1.0 - b[..., 2]))
+                concat = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=1))
+
+                def run(x):
+                    d = decode(self._forward(self._variables, x))
+                    df = unflip(decode(
+                        self._forward(self._variables, x[:, :, ::-1, :])))
+                    return nms(concat(d, df))
+            else:
+                def run(x):
+                    return nms(decode(self._forward(self._variables, x)))
         else:
             def run(x):
                 return self._forward_decode_nms(self._variables, x)
@@ -166,6 +178,42 @@ class InferenceModel:
             "mean_ms": sum(times) / len(times),
             "batch": int(x.shape[0]),
         }
+
+
+def load_serving_state(config: Config, checkpoint_dir: str,
+                       avg_ckpts: int = 0, use_ema: bool = False):
+    """Restore ``(state, params, description)`` for serving — the single
+    source of the checkpoint-selection policy shared by ``evaluate.py`` and
+    ``tools/serving_map.py``: best checkpoint by default, the uniform
+    average of the newest K with ``avg_ckpts`` (train/checkpoint.py
+    ``average_checkpoints``), EMA params when requested (with a clear error
+    on non-EMA checkpoints)."""
+    from keras_object_detection_tpu.train.checkpoint import (
+        CheckpointManager, average_checkpoints)
+    from keras_object_detection_tpu.train.loop import create_train_state
+
+    template = jax.device_get(
+        create_train_state(config, jax.random.PRNGKey(0)))
+    ckpt = CheckpointManager(checkpoint_dir)
+    try:
+        if avg_ckpts:
+            state = average_checkpoints(ckpt, template, last_k=avg_ckpts)
+            info = (f"average of the newest {avg_ckpts} checkpoints "
+                    f"{ckpt.all_steps[-avg_ckpts:]}")
+        else:
+            state = ckpt.restore(template)
+            info = (f"step={int(state.step)} (best={ckpt.best_step}, "
+                    f"latest={ckpt.latest_step})")
+    finally:
+        ckpt.close()
+    params = state.params
+    if use_ema:
+        if state.ema_params is None:
+            raise ValueError("checkpoint has no EMA params "
+                             "(train with TrainConfig.ema_decay)")
+        params = state.ema_params
+        info += ", EMA"
+    return state, params, info
 
 
 class Evaluator:

@@ -302,8 +302,20 @@ class Int8InferenceModel:
             return int8_forward(plan, layers, images_u8, g.grid, activation)
 
         def forward_decode(layers, images_u8):
-            return decode_grid(forward(layers, images_u8), g.num_classes,
-                               g.num_boxes, g.grid)
+            boxes = decode_grid(forward(layers, images_u8), g.num_classes,
+                                g.num_boxes, g.grid)
+            if e.tta == "hflip":
+                # same TTA semantics as the float InferenceModel
+                # (eval/evaluator.py): mirror forward in the same program,
+                # un-flip detections, NMS merges the union
+                fb = decode_grid(forward(layers, images_u8[:, :, ::-1, :]),
+                                 g.num_classes, g.num_boxes, g.grid)
+                fb = fb.at[..., 2].set(1.0 - fb[..., 2])
+                boxes = jnp.concatenate([boxes, fb], axis=1)
+            elif e.tta != "none":
+                raise ValueError(f"unknown EvalConfig.tta {e.tta!r} "
+                                 "(expected 'none' or 'hflip')")
+            return boxes
 
         def forward_decode_nms(layers, images_u8):
             boxes = forward_decode(layers, images_u8)

@@ -100,26 +100,54 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
 
-def multiscale_grid(config: Config, size: int) -> int:
-    """Target grid S for a multiscale training resolution.
+_BACKBONE_FEAT_CACHE: Dict[Tuple[str, int], int] = {}
 
-    Darknet-family backbones emit ``size // stride_px`` features
-    (stride_px = image_size // grid at the canonical resolution); the conv
-    head then strides by ``max(feat // grid, 1)`` with SAME padding
-    (models/yolo.py ConvHead), so S follows the resolution until the head
-    re-strides. GAP-dense heads always emit the configured grid."""
+
+def _backbone_feat(config: Config, size: int) -> int:
+    """Feature-map side the backbone emits at input ``size``, measured by
+    ABSTRACT (shape-only) evaluation of the actual module — exact for any
+    architecture. (Arithmetic like image_size // grid mispredicts stride-32
+    backbones: vgg16/mobilenetv2 emit 14x14 at 448 with grid 7, and the
+    conv head re-strides; see models/backbones.py:31,86.)"""
+    key = (config.model.backbone, size)
+    if key not in _BACKBONE_FEAT_CACHE:
+        from keras_object_detection_tpu.models.backbones import BACKBONES
+
+        bb = BACKBONES[config.model.backbone](
+            jnp.float32, getattr(config.model, "activation", "relu"),
+            bn_mode="flax")
+        out = jax.eval_shape(
+            lambda x: bb.init_with_output(
+                jax.random.PRNGKey(0), x, train=False)[0],
+            jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32))
+        _BACKBONE_FEAT_CACHE[key] = int(out.shape[1])
+    return _BACKBONE_FEAT_CACHE[key]
+
+
+def multiscale_grid(config: Config, size: int) -> int:
+    """Target grid S for a multiscale training resolution: the true output
+    grid of the conv head at that resolution (head stride =
+    ``max(feat // grid, 1)`` with SAME padding, models/yolo.py ConvHead),
+    with the backbone feature size measured from the real module. GAP-dense
+    heads always emit the configured grid. Sizes must align to the
+    backbone's measured pixel stride so feature maps stay exact."""
     if config.model.head == "gap_dense":
         return config.grid.grid
-    stride_px = config.model.image_size // config.grid.grid
-    if stride_px <= 0 or config.model.image_size % config.grid.grid:
+    canon = config.model.image_size
+    feat0 = _backbone_feat(config, canon)
+    if feat0 <= 0:
         raise ValueError(
-            f"multiscale needs image_size ({config.model.image_size}) "
-            f"divisible by grid ({config.grid.grid})")
-    if size % stride_px:
-        raise ValueError(
-            f"multiscale size {size} must be a multiple of the backbone "
-            f"pixel stride {stride_px}")
-    feat = size // stride_px
+            f"backbone emits no spatial features at image_size {canon}")
+    if canon % feat0 == 0:
+        stride_px = canon // feat0
+        if size % stride_px:
+            raise ValueError(
+                f"multiscale size {size} must be a multiple of the backbone "
+                f"pixel stride {stride_px}")
+    feat = _backbone_feat(config, size)
+    if feat <= 0:
+        raise ValueError(f"multiscale size {size} is too small for the "
+                         f"{config.model.backbone} backbone")
     head_stride = max(feat // config.grid.grid, 1)
     return -(-feat // head_stride)  # ceil (SAME conv)
 
@@ -494,7 +522,8 @@ class Trainer:
             return None
         period = max(self.config.train.multiscale_every, 1)
         r = np.random.RandomState(
-            (self.config.train.seed + 7) * 1000003 + epoch // period)
+            ((self.config.train.seed + 7) * 1000003 + epoch // period)
+            % (2 ** 32))  # RandomState rejects seeds >= 2**32
         return int(r.choice(np.asarray(ms)))
 
     def _run_validation(self, state: TrainState, ds: YoloDataset,

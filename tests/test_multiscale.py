@@ -71,6 +71,17 @@ def test_multiscale_grid_follows_resolution():
     with pytest.raises(ValueError, match="multiple of the backbone"):
         multiscale_grid(cfg, 400)  # not a multiple of 64
 
+    # stride-32 backbones (vgg16 emits 14x14 at 448, models/backbones.py:31):
+    # the measured-geometry path must track the REAL feature map, not
+    # image_size // grid arithmetic — and accept multiples of 32 like 416
+    vgg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone="vgg16"))
+    assert multiscale_grid(vgg, 448) == 7   # feat 14, head stride 2
+    assert multiscale_grid(vgg, 384) == 12  # feat 12, head stride 1
+    assert multiscale_grid(vgg, 416) == 13  # multiple of the TRUE stride 32
+    with pytest.raises(ValueError, match="multiple of the backbone"):
+        multiscale_grid(vgg, 400)  # not a multiple of 32
+
 
 def test_validate_multiscale_rejects_flatten_dense():
     cfg = Config(

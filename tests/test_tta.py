@@ -81,6 +81,23 @@ def test_tta_predict_nms_merges(setup):
     assert valid.sum() <= 2 * 98
 
 
+def test_tta_int8_path_honors_config(setup):
+    """EvalConfig.tta must not be silently dropped on the int8 serving path
+    (evaluate.py --tta hflip --serving int8): candidate count doubles and
+    the union's first half is the plain int8 decode."""
+    from keras_object_detection_tpu.export.int8_serving import (
+        Int8InferenceModel)
+
+    cfg, params, stats, imgs = setup
+    m = Int8InferenceModel(cfg, params, stats)
+    dec = np.asarray(m.predict_decoded(imgs))
+    assert dec.shape == (2, 2 * 49, 6)
+    m0 = Int8InferenceModel(dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, tta="none")), params, stats)
+    plain = np.asarray(m0.predict_decoded(imgs))
+    np.testing.assert_allclose(dec[:, :49], plain, atol=1e-6)
+
+
 def test_tta_unknown_mode_rejected(setup):
     cfg, params, stats, _ = setup
     bad = dataclasses.replace(

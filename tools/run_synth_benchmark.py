@@ -121,8 +121,7 @@ def main():
             batch_size=args.batch_size, max_boxes_per_image=8,
             cache_in_memory=True, device_cache=args.device_cache,
             train_decode_size=args.decode_size,
-            mosaic_prob=args.mosaic,
-        mixup_prob=args.mixup, mixup_prob=args.mixup),
+            mosaic_prob=args.mosaic, mixup_prob=args.mixup),
         train=TrainConfig(
             epochs=args.epochs, optimizer="adam",
             schedule=ScheduleConfig(

@@ -52,11 +52,9 @@ def main():
 
     from keras_object_detection_tpu.config import Config
     from keras_object_detection_tpu.data.pipeline import YoloDataset
-    from keras_object_detection_tpu.eval.evaluator import InferenceModel
+    from keras_object_detection_tpu.eval.evaluator import (
+        InferenceModel, load_serving_state)
     from keras_object_detection_tpu.ops.map import mean_average_precision
-    from keras_object_detection_tpu.train.checkpoint import (
-        CheckpointManager, average_checkpoints)
-    from keras_object_detection_tpu.train.loop import create_train_state
 
     cfg = Config.from_json(
         open(os.path.join(args.checkpoint_dir, "config.json")).read())
@@ -69,13 +67,9 @@ def main():
         ev = dataclasses.replace(ev, conf_threshold=args.conf_threshold)
     cfg = dataclasses.replace(cfg, eval=ev)
 
-    template = jax.device_get(create_train_state(cfg, jax.random.PRNGKey(0)))
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    if args.avg_ckpts:
-        state = average_checkpoints(ckpt, template, last_k=args.avg_ckpts)
-    else:
-        state = ckpt.restore(template)
-    params = state.ema_params if args.use_ema else state.params
+    state, params, _ = load_serving_state(
+        cfg, args.checkpoint_dir, avg_ckpts=args.avg_ckpts,
+        use_ema=args.use_ema)
     model = InferenceModel(cfg, params, state.batch_stats)
 
     ds = YoloDataset(args.data, cfg.model.image_size, args.batch_size,

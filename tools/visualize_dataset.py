@@ -26,6 +26,9 @@ def main():
     p.add_argument("--image-size", type=int, default=448)
     p.add_argument("--num-classes", type=int, default=3)
     p.add_argument("--limit", type=int, default=16)
+    p.add_argument("--letterbox", action="store_true",
+                   help="decode with the aspect-preserving letterbox path "
+                        "(match a letterbox-trained config)")
     p.add_argument("--augment", action="store_true",
                    help="run the train-time on-device augmentation first")
     args = p.parse_args()
@@ -44,7 +47,8 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     paths = list_examples(args.data_dir)[: args.limit]
     for n, path in enumerate(paths):
-        img, boxes, valid = load_example(path, args.image_size, 64)
+        img, boxes, valid = load_example(path, args.image_size, 64,
+                                         letterbox=args.letterbox)
         if args.augment:
             aimg, aboxes, avalid = augment_batch(
                 jnp.asarray(img[None]), jnp.asarray(boxes[None]),
