@@ -225,6 +225,10 @@ class TrainConfig:
     # Re-draw the multiscale size every N epochs (YOLOv2 re-draws every 10
     # batches; per-epoch keeps one compiled program per epoch).
     multiscale_every: int = 1
+    # Decoupled weight decay for the "adamw"/"sgdw" optimizers (beyond
+    # parity; arXiv:1711.05101). Ignored by the reference optimizers
+    # (adam/nadam/sgd), which never regularize (ref train.py:114).
+    weight_decay: float = 1e-4
     # Gradient accumulation: split each batch into N microbatches inside the
     # ONE jitted step (lax.scan), summing gradients before a single optimizer
     # update. The loss is sum-reduced (reference semantics), so N microbatch

@@ -53,11 +53,22 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
-def _make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+def _make_optimizer(name: str, lr: float,
+                    weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Reference optimizers (adam/nadam/sgd, ref train.py:114) plus
+    decoupled-weight-decay variants (beyond parity): "adamw"
+    (Loshchilov & Hutter 2019, arXiv:1711.05101) and momentum-SGD with
+    decoupled decay ("sgdw"). TrainConfig.weight_decay feeds both; the
+    reference never regularizes weights (its runs overfit, train_info.txt)."""
     opts = {
-        "adam": optax.adam,  # ref yolo_v1.py monolith
-        "nadam": optax.nadam,  # ref train.py:114
-        "sgd": optax.sgd,
+        "adam": lambda learning_rate: optax.adam(learning_rate),
+        "nadam": lambda learning_rate: optax.nadam(learning_rate),
+        "sgd": lambda learning_rate: optax.sgd(learning_rate),
+        "adamw": lambda learning_rate: optax.adamw(
+            learning_rate, weight_decay=weight_decay),
+        "sgdw": lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate, momentum=0.9)),
     }
     if name not in opts:
         raise ValueError(f"unknown optimizer {name!r}; options: {sorted(opts)}")
@@ -78,7 +89,9 @@ def create_train_state(config: Config, rng: jax.Array) -> TrainState:
         variables = load_pretrained_backbone(
             dict(variables), config.model.backbone,
             config.model.pretrained_backbone)
-    tx = _make_optimizer(config.train.optimizer, config.train.schedule.base_lr)
+    tx = _make_optimizer(config.train.optimizer,
+                         config.train.schedule.base_lr,
+                         getattr(config.train, "weight_decay", 0.0))
     ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
            if config.train.ema_decay is not None else None)
     return TrainState.create(

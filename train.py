@@ -35,7 +35,10 @@ def parse_args():
     p.add_argument("--num-classes", type=int)
     p.add_argument("--batch-size", type=int)
     p.add_argument("--epochs", type=int)
-    p.add_argument("--optimizer", choices=["adam", "nadam", "sgd"])
+    p.add_argument("--optimizer",
+                   choices=["adam", "nadam", "sgd", "adamw", "sgdw"])
+    p.add_argument("--weight-decay", type=float,
+                   help="decoupled weight decay for adamw/sgdw")
     p.add_argument("--schedule",
                    choices=["constant", "piecewise_warmup", "cosine_restarts"])
     p.add_argument("--lr", type=float)
@@ -135,7 +138,8 @@ def build_config(args):
                                            args.multiscale.split(","))
                                      if args.multiscale else None),
                    multiscale_every=args.multiscale_every,
-                   grad_accum_steps=args.grad_accum),
+                   grad_accum_steps=args.grad_accum,
+                   weight_decay=args.weight_decay),
         mesh=over(cfg.mesh, data_parallel=args.data_parallel),
     )
 
