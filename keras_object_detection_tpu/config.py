@@ -22,6 +22,11 @@ class GridConfig:
     grid: int = 7
     num_boxes: int = 2
     num_classes: int = 20
+    # Anchor priors (w, h) in image ratios for the anchor head
+    # (ModelConfig.head="anchor", the YOLOv2 family, arXiv:1612.08242 §2;
+    # beyond parity — the reference is anchor-free YOLOv1 only). Fit them
+    # to a dataset with tools/kmeans_anchors.py. Ignored by the v1 heads.
+    anchors: Tuple[Tuple[float, float], ...] = ()
 
     @property
     def cell_depth(self) -> int:
@@ -30,6 +35,17 @@ class GridConfig:
     @property
     def output_shape(self) -> Tuple[int, int, int]:
         return (self.grid, self.grid, self.cell_depth)
+
+    def head_depth(self, head: str) -> int:
+        """Last-axis depth the model emits for a head family: the v1
+        layout C + 5B, or B_anchors * (5 + C) for the anchor head."""
+        if head == "anchor":
+            if not self.anchors:
+                raise ValueError(
+                    "head='anchor' requires GridConfig.anchors (fit with "
+                    "tools/kmeans_anchors.py)")
+            return len(self.anchors) * (5 + self.num_classes)
+        return self.cell_depth
 
 
 @dataclasses.dataclass(frozen=True)

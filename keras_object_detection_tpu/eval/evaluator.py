@@ -51,22 +51,29 @@ class InferenceModel:
         # transfer path vs 25 ms with device-resident weights).
         self._variables = jax.device_put(
             {"params": params, "batch_stats": batch_stats})
+        out_shape = (g.grid, g.grid, g.head_depth(config.model.head))
+        if config.model.head == "anchor":
+            from keras_object_detection_tpu.core.anchors import (
+                decode_anchor_grid)
+            anchors = tuple(tuple(a) for a in g.anchors)
+            self._decode = lambda y: decode_anchor_grid(
+                y, g.num_classes, anchors, g.grid)
+        else:
+            self._decode = lambda y: decode_grid(
+                y, g.num_classes, g.num_boxes, g.grid)
 
         def forward(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             y = model.apply(variables, x, train=False)
-            return y.reshape((-1,) + g.output_shape)
+            return y.reshape((-1,) + out_shape)
 
         def forward_decode(variables, images_u8):
-            boxes = decode_grid(forward(variables, images_u8), g.num_classes,
-                                g.num_boxes, g.grid)
+            boxes = self._decode(forward(variables, images_u8))
             if e.tta == "hflip":
                 # TTA: forward the mirror in the SAME jit program, un-flip
                 # its detections (cx -> 1-cx; layout [cls, conf, cx, cy,
                 # w, h]) and hand NMS the union — 2*S*S candidates.
-                fb = decode_grid(
-                    forward(variables, images_u8[:, :, ::-1, :]),
-                    g.num_classes, g.num_boxes, g.grid)
+                fb = self._decode(forward(variables, images_u8[:, :, ::-1, :]))
                 fb = fb.at[..., 2].set(1.0 - fb[..., 2])
                 boxes = jnp.concatenate([boxes, fb], axis=1)
             elif e.tta != "none":
@@ -117,14 +124,11 @@ class InferenceModel:
         x = jnp.asarray(images_u8)
 
         if staged:
-            from keras_object_detection_tpu.core.grid import decode_grid as _dg
             from keras_object_detection_tpu.ops.pallas_nms import (
                 auto_batched_non_max_suppression as _nms)
 
-            g = self.config.grid
             e = self.config.eval
-            decode = jax.jit(
-                lambda y: _dg(y, g.num_classes, g.num_boxes, g.grid))
+            decode = jax.jit(self._decode)  # head-aware (v1 or anchor)
             if e.nms_mode != "hard":  # keep staged/fused variants comparable
                 from keras_object_detection_tpu.ops.nms import (
                     batched_soft_non_max_suppression as _soft)
@@ -250,7 +254,9 @@ class Evaluator:
             config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
             iou_threshold=config.eval.iou_threshold,
             conf_threshold=config.eval.conf_threshold,
-            map_iou_threshold=config.eval.map_iou_threshold)
+            map_iou_threshold=config.eval.map_iou_threshold,
+            anchors=(config.grid.anchors
+                     if config.model.head == "anchor" else ()))
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True,

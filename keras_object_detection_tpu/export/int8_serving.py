@@ -293,6 +293,10 @@ class Int8InferenceModel:
         self.config = config
         g = config.grid
         e = config.eval
+        if config.model.head == "anchor":
+            raise ValueError("int8 serving implements the v1 conv head; "
+                             "the anchor family serves float "
+                             "(eval/evaluator.py InferenceModel)")
         plan, layers = build_int8_layers(config, params, batch_stats,
                                          float_tail=float_tail)
         self._layers = jax.device_put(layers)

@@ -1,0 +1,88 @@
+"""Anchor-family (YOLOv2-style) detection loss — beyond parity (the
+reference implements only the YOLOv1 loss, ref loss.py:100-215); the
+anchor parameterization follows arXiv:1612.08242 §2.
+
+Targets come from ``core.anchors.encode_anchor_grid``
+(slot layout ``[obj, tx*, ty*, tw*, th*, class one-hot]``); predictions
+are the raw head output with the same layout before activations. Terms:
+
+- box:     MSE over assigned slots of (sigmoid(tx), sigmoid(ty)) vs
+           (tx*, ty*) and RAW (tw, th) vs (tw*, th*) — comparing the
+           log-space size directly keeps the gradient linear in the
+           mismatch (darknet compares post-exp sizes; log-space is the
+           numerically tame equivalent), scaled by lambda_coord.
+- object:  MSE of sigmoid(obj) against 1 on assigned slots. (YOLOv2 uses
+           the live IoU as the target; the constant-1 target is the
+           YOLOv1-parity convention this framework's v1 loss already
+           documents, kept here for family consistency.)
+- noobj:   MSE of sigmoid(obj) against 0 on unassigned slots, scaled by
+           lambda_noobj.
+- class:   softmax cross-entropy on assigned slots (darknet v2 uses
+           squared error on probabilities; CE is the standard modern
+           choice and converges faster — documented deviation).
+
+All terms SUM-reduce over batch and slots (the framework-wide reduction
+convention, so gradient accumulation stays exact — see
+TrainConfig.grad_accum_steps).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def yolo_v2_loss_terms(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    num_classes: int,
+    anchors: Sequence[Tuple[float, float]],
+    lambda_coord: float = 5.0,
+    lambda_noobj: float = 0.5,
+    sample_weight: jnp.ndarray = None,
+) -> Dict[str, jnp.ndarray]:
+    """Sum-reduced anchor-loss terms for ``(batch, S, S, B*(5+C))`` grids.
+
+    ``sample_weight``: optional ``(batch,)`` 0/1 per-image weights (the
+    padded-image masking contract shared with losses/yolo.py)."""
+    nb = len(anchors)
+    depth = 5 + num_classes
+    b = y_true.shape[0]
+    t = y_true.reshape(b, -1, nb, depth).astype(jnp.float32)
+    p = y_pred.reshape(b, -1, nb, depth).astype(jnp.float32)
+
+    obj = t[..., 0]  # (b, S*S, B) 0/1 assignment mask
+    noobj = 1.0 - obj
+
+    def persum(x):  # sum everything but the batch axis -> (b,)
+        return jnp.sum(x.reshape(b, -1), axis=-1)
+
+    pxy = jax.nn.sigmoid(p[..., 1:3])
+    box_xy = persum(obj[..., None] * jnp.square(pxy - t[..., 1:3]))
+    box_wh = persum(obj[..., None] * jnp.square(p[..., 3:5] - t[..., 3:5]))
+    box_loss = lambda_coord * (box_xy + box_wh)
+
+    pobj = jax.nn.sigmoid(p[..., 0])
+    object_loss = persum(obj * jnp.square(pobj - 1.0))
+    no_object_loss = lambda_noobj * persum(noobj * jnp.square(pobj))
+
+    logp = jax.nn.log_softmax(p[..., 5:], axis=-1)
+    class_loss = -persum(obj[..., None] * t[..., 5:] * logp)
+
+    w = (jnp.ones((b,), jnp.float32) if sample_weight is None
+         else sample_weight.astype(jnp.float32))
+    box_loss = jnp.sum(w * box_loss)
+    object_loss = jnp.sum(w * object_loss)
+    no_object_loss = jnp.sum(w * no_object_loss)
+    class_loss = jnp.sum(w * class_loss)
+
+    total = box_loss + object_loss + no_object_loss + class_loss
+    return {
+        "box_loss": box_loss,
+        "object_loss": object_loss,
+        "no_object_loss": no_object_loss,
+        "class_loss": class_loss,
+        "total": total,
+    }

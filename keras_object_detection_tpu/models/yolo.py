@@ -98,7 +98,7 @@ class MultiConvDenseHead(nn.Module):
         return x.reshape(x.shape[0], self.grid, self.grid, self.cell_depth)
 
 
-HEADS = {"conv", "gap_dense", "flatten_dense"}
+HEADS = {"conv", "gap_dense", "flatten_dense", "anchor"}
 
 
 class YoloV1(nn.Module):
@@ -114,6 +114,9 @@ class YoloV1(nn.Module):
     grid: int = 7
     num_classes: int = 20
     num_boxes: int = 2
+    # anchor priors for head="anchor" (the YOLOv2 family, core/anchors.py);
+    # only the COUNT matters here (output depth B*(5+C))
+    anchors: tuple = ()
     compute_dtype: Any = jnp.float32
     head_dense_units: int = 4960
     head_batchnorm: bool = True
@@ -130,6 +133,8 @@ class YoloV1(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         depth = self.num_classes + 5 * self.num_boxes
+        if self.head == "anchor":
+            depth = len(self.anchors) * (5 + self.num_classes)
         x = images.astype(self.compute_dtype)
         # NOTE: rematerialization is applied at the train-step level
         # (train/loop.py) via jax.checkpoint around the whole forward —
@@ -138,7 +143,9 @@ class YoloV1(nn.Module):
         x = BACKBONES[self.backbone](self.compute_dtype, self.activation,
                                      bn_mode=self.bn_mode)(
             x, train=train and not self.freeze_backbone)
-        if self.head == "conv":
+        if self.head in ("conv", "anchor"):
+            # the anchor family reuses the conv head structure with the
+            # B*(5+C) per-anchor layout (core/anchors.py)
             out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype,
                            bn_mode=self.bn_mode)(x, train=train)
         elif self.head == "gap_dense":
@@ -166,12 +173,15 @@ def build_model(config: Config) -> YoloV1:
     """Build the flagship model from a ``Config`` (the registry entry point)."""
     m: ModelConfig = config.model
     g: GridConfig = config.grid
+    if m.head == "anchor":
+        g.head_depth("anchor")  # raises "requires GridConfig.anchors" early
     return YoloV1(
         backbone=m.backbone,
         head=m.head,
         grid=g.grid,
         num_classes=g.num_classes,
         num_boxes=g.num_boxes,
+        anchors=tuple(tuple(a) for a in getattr(g, "anchors", ()) or ()),
         compute_dtype=jnp.dtype(m.compute_dtype),
         head_dense_units=m.head_dense_units,
         head_batchnorm=getattr(m, "head_batchnorm", True),

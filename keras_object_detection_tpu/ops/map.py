@@ -222,7 +222,8 @@ class MeanAveragePrecision:
 
     def __init__(self, num_classes: int, num_boxes: int = 2, grid: int = 7,
                  iou_threshold: float = 0.5, conf_threshold: float = 0.4,
-                 map_iou_threshold: float = 0.5, nms_on_targets: bool = True):
+                 map_iou_threshold: float = 0.5, nms_on_targets: bool = True,
+                 anchors: tuple = ()):
         self._num_classes = num_classes
         self._num_boxes = num_boxes
         self._grid = grid
@@ -233,13 +234,28 @@ class MeanAveragePrecision:
         # ref utils.py:480). False = the older MeanAveragePrecision2 variant
         # (ref metric.py:81): GTs only confidence-filtered (> conf_threshold).
         self._nms_on_targets = nms_on_targets
+        # Anchor-family support (core/anchors.py): when anchor priors are
+        # given, y_true/y_pred are the B*(5+C) per-anchor layout and the
+        # accumulator decodes with the YOLOv2 transforms; the matcher and
+        # every result view are layout-agnostic downstream of decode.
+        self._anchors = tuple(tuple(a) for a in anchors or ())
         self._update = jax.jit(self._make_update())
         self.reset_states()
 
     def _make_update(self):
         def update(y_true, y_pred, image_valid):
-            tb = decode_grid(y_true, self._num_classes, self._num_boxes, self._grid)
-            pb = decode_grid(y_pred, self._num_classes, self._num_boxes, self._grid)
+            if self._anchors:
+                from keras_object_detection_tpu.core.anchors import (
+                    decode_anchor_grid, decode_anchor_targets)
+                tb = decode_anchor_targets(
+                    y_true, self._num_classes, self._anchors, self._grid)
+                pb = decode_anchor_grid(
+                    y_pred, self._num_classes, self._anchors, self._grid)
+            else:
+                tb = decode_grid(y_true, self._num_classes, self._num_boxes,
+                                 self._grid)
+                pb = decode_grid(y_pred, self._num_classes, self._num_boxes,
+                                 self._grid)
             if self._nms_on_targets:
                 tboxes, tvalid = batched_non_max_suppression(
                     tb, self._iou_threshold, self._conf_threshold)

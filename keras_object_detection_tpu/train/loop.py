@@ -190,6 +190,16 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
     t = config.train
     out_size = config.model.image_size if image_size is None else image_size
     out_grid = g.grid if grid is None else grid
+    anchor_head = config.model.head == "anchor"
+    anchors = tuple(tuple(a) for a in (getattr(g, "anchors", ()) or ()))
+    if anchor_head:
+        if t.use_pallas_loss:
+            raise ValueError("use_pallas_loss implements the v1 loss; the "
+                             "anchor head uses losses/yolov2.py")
+        if t.box_loss_mode != "mse":
+            raise ValueError("box_loss_mode applies to the v1 loss; the "
+                             "anchor head's box terms are fixed "
+                             "(losses/yolov2.py)")
 
     freeze_key = None
     if getattr(config.model, "freeze_backbone", False):
@@ -232,9 +242,18 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
             # image_size, or a multiscale size for this epoch's step)
             out_size=out_size,
         )
-        y_true = jax.vmap(
-            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, out_grid)
-        )(aboxes, avalid)
+        if anchor_head:
+            from keras_object_detection_tpu.core.anchors import (
+                encode_anchor_grid)
+            y_true = jax.vmap(
+                lambda b, v: encode_anchor_grid(b, v, g.num_classes, anchors,
+                                                out_grid)
+            )(aboxes, avalid)
+        else:
+            y_true = jax.vmap(
+                lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes,
+                                         out_grid)
+            )(aboxes, avalid)
 
         def forward(params, batch_stats, imgs):
             return state.apply_fn(
@@ -268,7 +287,13 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     jax.lax.stop_gradient, params[freeze_key])
             y_pred, updates = forward(params, batch_stats, images)
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
-            if t.use_pallas_loss:
+            if anchor_head:
+                from keras_object_detection_tpu.losses.yolov2 import (
+                    yolo_v2_loss_terms)
+                terms = yolo_v2_loss_terms(
+                    y_true, y_pred, g.num_classes, anchors,
+                    t.lambda_coord, t.lambda_noobj)
+            elif t.use_pallas_loss:
                 from keras_object_detection_tpu.ops.pallas_loss import (
                     pallas_yolo_v1_loss)
 
@@ -356,12 +381,24 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
     g = config.grid
     t = config.train
 
+    anchor_head = config.model.head == "anchor"
+    anchors = tuple(tuple(a) for a in (getattr(g, "anchors", ()) or ()))
+
     def eval_step(state: TrainState, images_u8, boxes, valid,
                   image_weight=None):
         images = preprocess_eval_batch(images_u8)
-        y_true = jax.vmap(
-            lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes, g.grid)
-        )(boxes, valid)
+        if anchor_head:
+            from keras_object_detection_tpu.core.anchors import (
+                encode_anchor_grid)
+            y_true = jax.vmap(
+                lambda b, v: encode_anchor_grid(b, v, g.num_classes, anchors,
+                                                g.grid)
+            )(boxes, valid)
+        else:
+            y_true = jax.vmap(
+                lambda b, v: encode_grid(b, v, g.num_classes, g.num_boxes,
+                                         g.grid)
+            )(boxes, valid)
         ema = use_ema
         if ema is None:
             ema = t.ema_decay is not None and t.eval_with_ema
@@ -371,10 +408,17 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
             {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
         y_pred = y_pred.reshape(y_true.shape)
-        terms = yolo_v1_loss_terms(
-            y_true, y_pred, g.num_classes, g.num_boxes,
-            t.lambda_coord, t.lambda_noobj, t.noobj_mode, t.box_loss_mode,
-            sample_weight=image_weight)
+        if anchor_head:
+            from keras_object_detection_tpu.losses.yolov2 import (
+                yolo_v2_loss_terms)
+            terms = yolo_v2_loss_terms(
+                y_true, y_pred, g.num_classes, anchors,
+                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight)
+        else:
+            terms = yolo_v1_loss_terms(
+                y_true, y_pred, g.num_classes, g.num_boxes,
+                t.lambda_coord, t.lambda_noobj, t.noobj_mode, t.box_loss_mode,
+                sample_weight=image_weight)
         return terms["total"], y_true, y_pred
 
     return eval_step
@@ -496,7 +540,9 @@ class Trainer:
             config.grid.num_classes, config.grid.num_boxes, config.grid.grid,
             iou_threshold=config.eval.iou_threshold,
             conf_threshold=config.eval.conf_threshold,
-            map_iou_threshold=config.eval.map_iou_threshold)
+            map_iou_threshold=config.eval.map_iou_threshold,
+            anchors=(config.grid.anchors
+                     if config.model.head == "anchor" else ()))
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(

@@ -30,7 +30,11 @@ def parse_args():
     p.add_argument("--backbone",
                    choices=["darknet24", "darknet_tiny", "darknet_micro",
                             "vgg16", "mobilenetv2"])
-    p.add_argument("--head", choices=["conv", "gap_dense", "flatten_dense"])
+    p.add_argument("--head",
+                   choices=["conv", "gap_dense", "flatten_dense", "anchor"])
+    p.add_argument("--anchors", metavar="W,H;W,H;...",
+                   help="anchor priors in image ratios for --head anchor "
+                        "(fit with tools/kmeans_anchors.py)")
     p.add_argument("--image-size", type=int)
     p.add_argument("--num-classes", type=int)
     p.add_argument("--batch-size", type=int)
@@ -117,7 +121,10 @@ def build_config(args):
     sched = over(cfg.train.schedule, kind=args.schedule, base_lr=args.lr)
     return dataclasses.replace(
         cfg,
-        grid=over(cfg.grid, num_classes=args.num_classes),
+        grid=over(cfg.grid, num_classes=args.num_classes,
+                  anchors=(tuple(tuple(float(v) for v in a.split(","))
+                                 for a in args.anchors.split(";"))
+                           if args.anchors else None)),
         model=over(cfg.model, backbone=args.backbone, head=args.head,
                    image_size=args.image_size, compute_dtype=args.compute_dtype,
                    pretrained_backbone=args.pretrained_backbone,
