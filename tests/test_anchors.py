@@ -235,6 +235,45 @@ def test_anchor_training_end_to_end(tmp_path):
     assert 0.0 <= max(r.get("val_mAP", 0.0) for r in rows) <= 1.0
 
 
+def test_anchor_composes_with_multiscale_and_mosaic(tmp_path):
+    """The anchor head trains across multiscale resolutions with mosaic and
+    mixup on — every recipe feature composes inside the one jitted step."""
+    import json
+    import os
+    import shutil
+
+    from keras_object_detection_tpu.data.pipeline import YoloDataset
+    from keras_object_detection_tpu.parallel.mesh import create_mesh
+    from keras_object_detection_tpu.train.loop import Trainer, multiscale_grid
+
+    cfg = _cfg(epochs=3, checkpoint_dir=str(tmp_path / "ckpt"),
+               log_dir=str(tmp_path / "logs"),
+               multiscale_sizes=(48, 56), multiscale_every=1)
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, mosaic_prob=0.5, mixup_prob=0.5))
+    assert multiscale_grid(cfg, 48) == 6  # anchor head follows the conv path
+
+    data = tmp_path / "d"
+    data.mkdir()
+    for i in range(2):
+        shutil.copy("/root/reference/yolo_v1/data/test.jpg",
+                    data / f"i{i}.jpg")
+        shutil.copy("/root/reference/yolo_v1/data/test.txt",
+                    data / f"i{i}.txt")
+    ds = YoloDataset(str(data), cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8, cache_in_memory=True)
+    tr = Trainer(cfg, mesh=create_mesh(data_parallel=1,
+                                       devices=jax.devices()[:1]),
+                 use_tensorboard=False)
+    state = tr.fit(ds, None, state=tr.init_state(), verbose=False)
+    tr.ckpt.close()
+    rows = [json.loads(l)
+            for l in open(os.path.join(cfg.train.log_dir, "train.jsonl"))]
+    assert len(rows) == 3
+    assert all(np.isfinite(r["total"]) for r in rows)
+    assert {r["train_size"] for r in rows} == {48, 56}
+
+
 def test_kmeans_anchor_tool_logic():
     import sys
     sys.path.insert(0, "tools")
