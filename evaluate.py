@@ -47,6 +47,10 @@ def main():
                    help="evaluate the dataset data-parallel over this many "
                         "chips (-1 = all; batches land sharded over the mesh "
                         "data axis, parameters replicate)")
+    p.add_argument("--pr-json", metavar="PATH",
+                   help="with --data-dir: dump per-class precision/recall "
+                        "curves (threshold-tuning data the reference "
+                        "discards) to this JSON file")
     p.add_argument("--per-class-ap", action="store_true",
                    help="also print the per-class AP breakdown (labels from "
                         "--names when given; the reference reduces straight "
@@ -256,7 +260,17 @@ def main():
             for c, ap in enumerate(aps):
                 label = names[c] if names and c < len(names) else str(c)
                 print(f"  {label:>16s}  {ap:.4f}")
-    ckpt.close()
+        if args.pr_json:
+            import json
+
+            curves = evaluator.map_metric.result_pr_curves()
+            if args.names:
+                labels = [x.strip() for x in open(args.names)]
+                curves = {labels[c] if c < len(labels) else str(c): v
+                          for c, v in curves.items()}
+            with open(args.pr_json, "w") as f:
+                json.dump(curves, f, indent=1)
+            print(f"wrote per-class PR curves to {args.pr_json}")
 
 
 if __name__ == "__main__":

@@ -53,9 +53,14 @@ def _map_at_thresholds(
     pred_valid: jnp.ndarray,
     num_classes: int,
     thresholds: tuple,
+    return_curves: bool = False,
 ) -> jnp.ndarray:
     """(T, C) per-class AP values, one row per IoU threshold, sharing one
     matcher pass (mean over the class axis is the mAP at that threshold).
+    ``return_curves=True`` (single threshold) additionally returns the
+    per-class PR curves: ``(aps, recalls, precisions, total_true)`` with
+    curves shaped ``(C, N+1)`` over the globally confidence-sorted
+    detection stream (point 0 is the prepended (r=0, p=1) start).
 
     The IoU matrix, per-detection best-GT, and the global confidence ranking
     do not depend on the threshold — only the TP candidacy test does — so the
@@ -141,6 +146,8 @@ def _map_at_thresholds(
         )
         ap = jnp.where(total_true > 0, ap, 0.0)  # absent class -> AP 0 (ref utils.py:334)
         aps.append(ap)
+        if return_curves:
+            return jnp.stack(aps), recalls, precisions, total_true
     return jnp.stack(aps)
 
 
@@ -337,6 +344,38 @@ class MeanAveragePrecision:
         out = {f"mAP@{t:.2f}": float(v) for t, v in zip(thresholds, vals)}
         out["mAP@[.50:.95]" if thresholds == COCO_IOU_THRESHOLDS
             else "mAP@mean"] = float(vals.mean())
+        return out
+
+    def result_pr_curves(self, iou_threshold: float = None) -> dict:
+        """Per-class precision/recall curves at ``iou_threshold`` (default:
+        the accumulator's mAP threshold) — the curves ``result()``'s
+        trapezoid integrates, exposed for threshold tuning/plotting (the
+        reference computes them internally and discards them, ref
+        utils.py:430-444). Returns ``{class_idx: {"recall": [...],
+        "precision": [...], "ap": float, "num_gt": int}}`` with repeated PR
+        points compacted host-side (classes with no GTs are omitted)."""
+        if not self._true:
+            return {}
+        thr = (self._map_iou_threshold if iou_threshold is None
+               else iou_threshold)
+        aps, recalls, precisions, total_true = _map_at_thresholds(
+            jnp.concatenate(self._true), jnp.concatenate(self._tvalid),
+            jnp.concatenate(self._pred), jnp.concatenate(self._pvalid),
+            self._num_classes, (thr,), return_curves=True)
+        aps, recalls, precisions, total_true = map(
+            np.asarray, (aps[0], recalls, precisions, total_true))
+        out = {}
+        for c in range(self._num_classes):
+            if total_true[c] <= 0:
+                continue
+            r, p = recalls[c], precisions[c]
+            # drop repeated points (off-class rows repeat the previous one)
+            keep = np.concatenate(
+                [[True], (np.diff(r) != 0) | (np.diff(p) != 0)])
+            out[c] = {"recall": [round(float(v), 6) for v in r[keep]],
+                      "precision": [round(float(v), 6) for v in p[keep]],
+                      "ap": round(float(aps[c]), 6),
+                      "num_gt": int(total_true[c])}
         return out
 
     def result_per_class(self, iou_threshold: float = None) -> np.ndarray:

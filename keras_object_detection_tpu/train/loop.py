@@ -53,6 +53,13 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
+def _sgdw(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9):
+    """Momentum-SGD with decoupled weight decay (the non-adaptive twin of
+    adamw; decay applied to the params before the update scaling)."""
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.sgd(learning_rate, momentum=momentum))
+
+
 def _make_optimizer(name: str, lr: float,
                     weight_decay: float = 0.0) -> optax.GradientTransformation:
     """Reference optimizers (adam/nadam/sgd, ref train.py:114) plus
@@ -60,18 +67,22 @@ def _make_optimizer(name: str, lr: float,
     (Loshchilov & Hutter 2019, arXiv:1711.05101) and momentum-SGD with
     decoupled decay ("sgdw"). TrainConfig.weight_decay feeds both; the
     reference never regularizes weights (its runs overfit, train_info.txt)."""
+    # NOTE: pass the REAL optax callables to inject_hyperparams — it turns
+    # every numeric kwarg into an opt_state.hyperparams leaf, and that tree
+    # is part of the CHECKPOINT STRUCTURE (a thin lambda wrapper would
+    # shrink the tree and break restore of existing checkpoints).
     opts = {
-        "adam": lambda learning_rate: optax.adam(learning_rate),
-        "nadam": lambda learning_rate: optax.nadam(learning_rate),
-        "sgd": lambda learning_rate: optax.sgd(learning_rate),
-        "adamw": lambda learning_rate: optax.adamw(
-            learning_rate, weight_decay=weight_decay),
-        "sgdw": lambda learning_rate: optax.chain(
-            optax.add_decayed_weights(weight_decay),
-            optax.sgd(learning_rate, momentum=0.9)),
+        "adam": optax.adam,  # ref yolo_v1.py monolith
+        "nadam": optax.nadam,  # ref train.py:114
+        "sgd": optax.sgd,
+        "adamw": optax.adamw,
+        "sgdw": _sgdw,
     }
     if name not in opts:
         raise ValueError(f"unknown optimizer {name!r}; options: {sorted(opts)}")
+    if name in ("adamw", "sgdw"):
+        return optax.inject_hyperparams(opts[name])(
+            learning_rate=lr, weight_decay=weight_decay)
     return optax.inject_hyperparams(opts[name])(learning_rate=lr)
 
 
