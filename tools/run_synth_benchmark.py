@@ -38,6 +38,13 @@ def main():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--backbone", default="darknet_tiny")
+    p.add_argument("--head", default="conv", choices=("conv", "anchor"),
+                   help="anchor = the YOLOv2-style family "
+                        "(core/anchors.py); needs --anchors")
+    p.add_argument("--anchors", default="kmeans:5",
+                   help="for --head anchor: 'W,H;W,H;...' image-ratio "
+                        "priors, or 'kmeans:K' to fit K anchors to the "
+                        "train labels with IoU k-means (kmeans_anchors.py)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--decode-size", type=int, default=None,
                    help="decode train images at this resolution (above "
@@ -110,9 +117,30 @@ def main():
     from keras_object_detection_tpu.data.pipeline import YoloDataset
     from keras_object_detection_tpu.train.loop import Trainer
 
+    anchors = ()
+    if args.head == "anchor":
+        if args.anchors.startswith("kmeans:"):
+            # fit priors to the train labels (YOLOv2 "Dimension Clusters")
+            import numpy as np
+
+            from keras_object_detection_tpu.data.reader import (
+                list_examples, read_yolo_labels)
+            from tools.kmeans_anchors import kmeans_iou
+
+            whs = [read_yolo_labels(os.path.splitext(p_)[0] + ".txt")[:, 2:4]
+                   for p_ in list_examples(os.path.join(args.data, "train"))]
+            wh = np.concatenate([w for w in whs if len(w)])
+            fitted, avg_iou = kmeans_iou(wh, int(args.anchors.split(":")[1]),
+                                         seed=args.seed)
+            anchors = tuple((float(w), float(h)) for w, h in fitted)
+            print(f"fitted anchors (avg best-IoU {avg_iou:.4f}):", anchors)
+        else:
+            anchors = tuple(tuple(float(v) for v in a.split(","))
+                            for a in args.anchors.split(";"))
+
     cfg = Config(
-        grid=GridConfig(num_classes=args.num_classes),
-        model=ModelConfig(backbone=args.backbone, head="conv",
+        grid=GridConfig(num_classes=args.num_classes, anchors=anchors),
+        model=ModelConfig(backbone=args.backbone, head=args.head,
                           image_size=args.image_size,
                           activation=args.activation),
         data=DataConfig(
@@ -182,6 +210,8 @@ def main():
         val_images=val_ds.num_examples,
         num_classes=args.num_classes,
         backbone=args.backbone,
+        head=args.head,
+        anchors=[list(a) for a in anchors],
         image_size=args.image_size,
         batch_size=args.batch_size,
         images_per_s_train=round(
