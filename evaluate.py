@@ -51,6 +51,10 @@ def main():
                    help="with --data-dir: dump per-class precision/recall "
                         "curves (threshold-tuning data the reference "
                         "discards) to this JSON file")
+    p.add_argument("--error-analysis", action="store_true",
+                   help="with --data-dir: TIDE-style breakdown of every "
+                        "detection (tp/duplicate/classification/localization/"
+                        "both/background + missed GTs, per class)")
     p.add_argument("--per-class-ap", action="store_true",
                    help="also print the per-class AP breakdown (labels from "
                         "--names when given; the reference reduces straight "
@@ -260,6 +264,14 @@ def main():
             for c, ap in enumerate(aps):
                 label = names[c] if names and c < len(names) else str(c)
                 print(f"  {label:>16s}  {ap:.4f}")
+        if args.error_analysis:
+            from keras_object_detection_tpu.ops.error_analysis import (
+                format_error_table)
+
+            names = ([x.strip() for x in open(args.names)]
+                     if args.names else None)
+            report = evaluator.map_metric.result_error_analysis()
+            print(format_error_table(report, names))
         if args.pr_json:
             import json
 

@@ -378,6 +378,27 @@ class MeanAveragePrecision:
                       "num_gt": int(total_true[c])}
         return out
 
+    def result_error_analysis(self, iou_threshold: float = None,
+                              bg_threshold: float = 0.1) -> dict:
+        """TIDE-style error breakdown of the accumulated box sets
+        (ops/error_analysis.py): every detection categorized as
+        tp / duplicate / classification / localization / both / background,
+        plus missed-GT counts, globally and per class. TP semantics are
+        bit-consistent with ``result()``'s matcher."""
+        from keras_object_detection_tpu.ops.error_analysis import (
+            error_analysis)
+        if not self._true:
+            return error_analysis(
+                np.zeros((0, 1, 6)), np.zeros((0, 1), bool),
+                np.zeros((0, 1, 6)), np.zeros((0, 1), bool),
+                self._num_classes)
+        thr = (self._map_iou_threshold if iou_threshold is None
+               else iou_threshold)
+        return error_analysis(
+            jnp.concatenate(self._true), jnp.concatenate(self._tvalid),
+            jnp.concatenate(self._pred), jnp.concatenate(self._pvalid),
+            self._num_classes, thr, bg_threshold)
+
     def result_per_class(self, iou_threshold: float = None) -> np.ndarray:
         """(C,) per-class AP at ``iou_threshold`` (default: the accumulator's
         mAP threshold) over the accumulated box sets. ``result()`` is this
