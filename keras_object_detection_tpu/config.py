@@ -51,7 +51,7 @@ class GridConfig:
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     backbone: str = "darknet24"  # darknet24 | darknet_tiny | vgg16 | mobilenetv2
-    head: str = "conv"  # conv | gap_dense | flatten_dense
+    head: str = "conv"  # conv | gap_dense | flatten_dense | anchor
     image_size: int = 448
     # bfloat16 activations keep the MXU fed at full rate; params stay f32.
     compute_dtype: str = "bfloat16"
@@ -83,6 +83,12 @@ class ModelConfig:
     # implemented as stop_gradient on the backbone subtree, so XLA prunes the
     # backbone backward pass entirely.
     freeze_backbone: bool = False
+    # YOLOv2 passthrough/reorg skip (arXiv:1612.08242 §2; net-new — no
+    # reference counterpart): feed the 2x-resolution backbone tap into the
+    # anchor head via a 1x1 reduce + space_to_depth. head="anchor" with a
+    # darknet backbone only; changes the head architecture (checkpoints not
+    # interchangeable with passthrough off).
+    passthrough: bool = False
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

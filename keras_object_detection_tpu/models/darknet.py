@@ -64,17 +64,53 @@ DARKNET_TINY_CONFIG: Sequence[Any] = (
 )
 
 
+# name -> architecture table, for callers that need a tap-enabled backbone
+# (the YOLOv2 passthrough head, models/yolo.py)
+ARCHITECTURES = {
+    "darknet24": ARCHITECTURE_CONFIG,
+    "darknet_tiny": DARKNET_TINY_CONFIG,
+    "darknet_micro": DARKNET_MICRO_CONFIG,
+}
+
+
+def _last_downsample_index(architecture: Sequence[Any]) -> int:
+    """Index of the last spatially-downsampling entry (pool or stride-2 conv).
+
+    Repeat blocks in the tables are always stride-1, so only scalar entries
+    are considered. Used by the YOLOv2 passthrough tap (models/yolo.py)."""
+    last = -1
+    for i, entry in enumerate(architecture):
+        if isinstance(entry, str):
+            last = i
+        elif len(entry) == 4 and all(isinstance(v, int) for v in entry):
+            if entry[2] > 1:
+                last = i
+    return last
+
+
 class DarknetBackbone(nn.Module):
-    """Walks an architecture table (ref model.py:67-85 ``yolov1_backbone``)."""
+    """Walks an architecture table (ref model.py:67-85 ``yolov1_backbone``).
+
+    ``return_tap=True`` additionally returns the feature map captured just
+    BEFORE the last spatial downsample — the 2x-resolution source for the
+    YOLOv2 passthrough head (net-new; no reference counterpart). The tap adds
+    no parameters, so checkpoints are interchangeable across the flag.
+    """
 
     architecture: Sequence[Any] = ARCHITECTURE_CONFIG
     activation: str = "relu"
     dtype: Any = jnp.float32
     bn_mode: str = "flax"
+    return_tap: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        for entry in self.architecture:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        tap_at = _last_downsample_index(self.architecture) \
+            if self.return_tap else -1
+        tap = None
+        for i, entry in enumerate(self.architecture):
+            if i == tap_at:
+                tap = x
             # flax canonicalizes lists to tuples in module attributes, so
             # dispatch on content: 4 ints = conv, "M" = pool, else repeat block.
             if isinstance(entry, str):
@@ -95,4 +131,6 @@ class DarknetBackbone(nn.Module):
                                   activation=self.activation,
                                   dtype=self.dtype, bn_mode=self.bn_mode)(
                                       x, train=train)
+        if self.return_tap:
+            return x, tap
         return x

@@ -234,3 +234,19 @@ class ConvBlock(nn.Module):
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 stride-2 max pool (ref model.py:74)."""
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """YOLOv2 'reorg' layer: move ``block x block`` spatial tiles into the
+    channel axis, ``(B, H, W, C) -> (B, H/block, W/block, C*block**2)``.
+
+    Net-new for the anchor family's passthrough connection (arXiv:1612.08242
+    §2 "passthrough layer"; the reference repo has no YOLOv2 model). Pure
+    reshape/transpose, so XLA lowers it to a layout change — no data math.
+    """
+    b, h, w, c = x.shape
+    if h % block or w % block:
+        raise ValueError(f"spatial dims ({h},{w}) not divisible by {block}")
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, c * block * block)

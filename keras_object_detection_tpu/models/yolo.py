@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from keras_object_detection_tpu.config import Config, GridConfig, ModelConfig
 from keras_object_detection_tpu.models.backbones import BACKBONES
-from keras_object_detection_tpu.models.layers import ConvBlock, make_batch_norm
+from keras_object_detection_tpu.models.darknet import DarknetBackbone
+from keras_object_detection_tpu.models.layers import (ConvBlock,
+                                                      make_batch_norm,
+                                                      space_to_depth)
 
 
 class ConvHead(nn.Module):
@@ -38,6 +41,45 @@ class ConvHead(nn.Module):
         # the grid resolution (darknet24) keep stride 1.
         stride = max(x.shape[1] // self.grid, 1)
         x = ConvBlock(1024, 3, strides=stride, padding="SAME", dtype=self.dtype,
+                      bn_mode=self.bn_mode)(x, train=train)
+        x = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x
+
+
+class PassthroughConvHead(nn.Module):
+    """Conv head with the YOLOv2 passthrough connection (arXiv:1612.08242 §2;
+    net-new — the reference repo has no YOLOv2 model).
+
+    The 2x-resolution backbone tap is channel-reduced by a 1x1 conv, folded to
+    grid resolution with ``space_to_depth`` (the 'reorg' layer — a pure layout
+    transform XLA compiles to a copy), concatenated with the stride-matched
+    deep features, and mixed by a 3x3 conv before the final float32 1x1
+    projection. Fine-grained features reach the detector without any extra
+    spatial compute at tap resolution beyond the cheap 1x1."""
+
+    cell_depth: int
+    grid: int = 7
+    tap_filters: int = 64  # YOLOv2's 1x1 reduction before reorg
+    dtype: Any = jnp.float32
+    bn_mode: str = "flax"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, tap: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        stride = max(x.shape[1] // self.grid, 1)
+        x = ConvBlock(1024, 3, strides=stride, padding="SAME", dtype=self.dtype,
+                      bn_mode=self.bn_mode)(x, train=train)
+        tap = ConvBlock(self.tap_filters, 1, strides=1, padding="SAME",
+                        dtype=self.dtype, bn_mode=self.bn_mode)(tap, train=train)
+        block = tap.shape[1] // x.shape[1]
+        if block < 1 or tap.shape[1] != x.shape[1] * block:
+            raise ValueError(
+                f"passthrough tap {tap.shape} does not fold onto {x.shape}")
+        if block > 1:
+            tap = space_to_depth(tap, block)
+        x = jnp.concatenate([x, tap.astype(x.dtype)], axis=-1)
+        x = ConvBlock(1024, 3, strides=1, padding="SAME", dtype=self.dtype,
                       bn_mode=self.bn_mode)(x, train=train)
         x = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32)(x.astype(jnp.float32))
@@ -129,6 +171,11 @@ class YoloV1(nn.Module):
     # statistics and never updates them (matching Keras BN's trainable=False
     # behavior since TF 2.0); gradients are stopped in the train step.
     freeze_backbone: bool = False
+    # YOLOv2 passthrough/reorg skip connection (anchor head + darknet
+    # backbones only): feeds the 2x-resolution backbone tap into the head
+    # via space_to_depth. Changes the head architecture, so checkpoints are
+    # NOT interchangeable with passthrough off.
+    passthrough: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -140,10 +187,33 @@ class YoloV1(nn.Module):
         # (train/loop.py) via jax.checkpoint around the whole forward —
         # flax-module-level nn.remat would rename parameter scopes and break
         # checkpoint compatibility between remat on/off.
-        x = BACKBONES[self.backbone](self.compute_dtype, self.activation,
-                                     bn_mode=self.bn_mode)(
-            x, train=train and not self.freeze_backbone)
-        if self.head in ("conv", "anchor"):
+        tap = None
+        if self.passthrough:
+            if self.head != "anchor":
+                raise ValueError("passthrough requires head='anchor'")
+            if not self.backbone.startswith("darknet"):
+                raise ValueError(
+                    f"passthrough supports darknet backbones only, "
+                    f"got {self.backbone!r}")
+            # the tap is a module attribute (affects the return signature),
+            # so the backbone is constructed with it enabled; same class and
+            # position as the plain path -> same parameter scope
+            from keras_object_detection_tpu.models.darknet import (
+                ARCHITECTURES)
+            x, tap = DarknetBackbone(
+                architecture=ARCHITECTURES[self.backbone],
+                activation=self.activation, dtype=self.compute_dtype,
+                bn_mode=self.bn_mode, return_tap=True)(
+                    x, train=train and not self.freeze_backbone)
+        else:
+            x = BACKBONES[self.backbone](self.compute_dtype, self.activation,
+                                         bn_mode=self.bn_mode)(
+                x, train=train and not self.freeze_backbone)
+        if self.head == "anchor" and self.passthrough:
+            out = PassthroughConvHead(depth, grid=self.grid,
+                                      dtype=self.compute_dtype,
+                                      bn_mode=self.bn_mode)(x, tap, train=train)
+        elif self.head in ("conv", "anchor"):
             # the anchor family reuses the conv head structure with the
             # B*(5+C) per-anchor layout (core/anchors.py)
             out = ConvHead(depth, grid=self.grid, dtype=self.compute_dtype,
@@ -189,4 +259,5 @@ def build_model(config: Config) -> YoloV1:
         remat=getattr(m, "remat", False),
         bn_mode=getattr(m, "bn_mode", "flax"),
         freeze_backbone=getattr(m, "freeze_backbone", False),
+        passthrough=getattr(m, "passthrough", False),
     )

@@ -41,6 +41,10 @@ def main():
     p.add_argument("--head", default="conv", choices=("conv", "anchor"),
                    help="anchor = the YOLOv2-style family "
                         "(core/anchors.py); needs --anchors")
+    p.add_argument("--passthrough", action="store_true",
+                   help="for --head anchor: YOLOv2 passthrough/reorg skip "
+                        "from the 2x-resolution backbone tap (models/yolo.py "
+                        "PassthroughConvHead)")
     p.add_argument("--anchors", default="kmeans:5",
                    help="for --head anchor: 'W,H;W,H;...' image-ratio "
                         "priors, or 'kmeans:K' to fit K anchors to the "
@@ -142,7 +146,8 @@ def main():
         grid=GridConfig(num_classes=args.num_classes, anchors=anchors),
         model=ModelConfig(backbone=args.backbone, head=args.head,
                           image_size=args.image_size,
-                          activation=args.activation),
+                          activation=args.activation,
+                          passthrough=args.passthrough),
         data=DataConfig(
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
@@ -211,6 +216,7 @@ def main():
         num_classes=args.num_classes,
         backbone=args.backbone,
         head=args.head,
+        passthrough=args.passthrough,
         anchors=[list(a) for a in anchors],
         image_size=args.image_size,
         batch_size=args.batch_size,
