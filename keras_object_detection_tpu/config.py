@@ -45,13 +45,24 @@ class GridConfig:
                     "head='anchor' requires GridConfig.anchors (fit with "
                     "tools/kmeans_anchors.py)")
             return len(self.anchors) * (5 + self.num_classes)
+        if head == "fpn":
+            raise ValueError(
+                "head='fpn' emits one grid per scale; there is no single "
+                "output depth (see core/fpn.py partition_anchors)")
         return self.cell_depth
 
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    backbone: str = "darknet24"  # darknet24 | darknet_tiny | vgg16 | mobilenetv2
-    head: str = "conv"  # conv | gap_dense | flatten_dense | anchor
+    # darknet24 | darknet19 (YOLOv2's backbone — pair with head="anchor",
+    # passthrough=True, activation="leaky_relu" for the paper-faithful
+    # YOLOv2) | darknet_tiny | darknet_micro | vgg16 | mobilenetv2
+    backbone: str = "darknet24"
+    # conv | gap_dense | flatten_dense | anchor (YOLOv2 family,
+    # core/anchors.py) | fpn (YOLOv3-style multi-scale anchor family,
+    # core/fpn.py — predicts on (S, 2S, 4S) grids with anchors split by
+    # area across the scales; GridConfig.grid is the COARSEST grid)
+    head: str = "conv"
     image_size: int = 448
     # bfloat16 activations keep the MXU fed at full rate; params stay f32.
     compute_dtype: str = "bfloat16"
@@ -89,6 +100,9 @@ class ModelConfig:
     # darknet backbone only; changes the head architecture (checkpoints not
     # interchangeable with passthrough off).
     passthrough: bool = False
+    # Scale count for head="fpn" (YOLOv3 uses 3: stride 32/16/8 grids).
+    # len(GridConfig.anchors) must divide evenly across the scales.
+    fpn_scales: int = 3
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

@@ -51,8 +51,15 @@ class InferenceModel:
         # transfer path vs 25 ms with device-resident weights).
         self._variables = jax.device_put(
             {"params": params, "batch_stats": batch_stats})
-        out_shape = (g.grid, g.grid, g.head_depth(config.model.head))
-        if config.model.head == "anchor":
+        fpn = config.model.head == "fpn"
+        if fpn:
+            # per-scale grid tuple out of the model; decode concatenates the
+            # scales into one candidate set (core/fpn.py) — NMS/TTA unchanged
+            from keras_object_detection_tpu.core.fpn import decode_fpn_grids
+            anchors = tuple(tuple(a) for a in g.anchors)
+            self._decode = lambda ys: decode_fpn_grids(
+                ys, g.num_classes, anchors, g.grid, config.model.fpn_scales)
+        elif config.model.head == "anchor":
             from keras_object_detection_tpu.core.anchors import (
                 decode_anchor_grid)
             anchors = tuple(tuple(a) for a in g.anchors)
@@ -61,11 +68,13 @@ class InferenceModel:
         else:
             self._decode = lambda y: decode_grid(
                 y, g.num_classes, g.num_boxes, g.grid)
+        out_shape = None if fpn else (
+            g.grid, g.grid, g.head_depth(config.model.head))
 
         def forward(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             y = model.apply(variables, x, train=False)
-            return y.reshape((-1,) + out_shape)
+            return y if out_shape is None else y.reshape((-1,) + out_shape)
 
         def forward_decode(variables, images_u8):
             boxes = self._decode(forward(variables, images_u8))
@@ -256,7 +265,9 @@ class Evaluator:
             conf_threshold=config.eval.conf_threshold,
             map_iou_threshold=config.eval.map_iou_threshold,
             anchors=(config.grid.anchors
-                     if config.model.head == "anchor" else ()))
+                     if config.model.head in ("anchor", "fpn") else ()),
+            fpn_scales=(config.model.fpn_scales
+                        if config.model.head == "fpn" else 0))
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True,

@@ -42,20 +42,13 @@ from jax import lax
 
 from keras_object_detection_tpu.config import Config
 from keras_object_detection_tpu.core.grid import decode_grid
-from keras_object_detection_tpu.models.darknet import (
-    ARCHITECTURE_CONFIG,
-    DARKNET_MICRO_CONFIG,
-    DARKNET_TINY_CONFIG,
-)
+from keras_object_detection_tpu.models.darknet import ARCHITECTURES
 from keras_object_detection_tpu.ops.pallas_nms import (
     auto_batched_non_max_suppression,
 )
 
-_TABLES = {
-    "darknet24": ARCHITECTURE_CONFIG,
-    "darknet_tiny": DARKNET_TINY_CONFIG,
-    "darknet_micro": DARKNET_MICRO_CONFIG,
-}
+# every table-driven darknet backbone (incl. darknet19) folds the same way
+_TABLES = ARCHITECTURES
 
 _BN_EPS = 1e-3  # ConvBlock's Keras-style epsilon (models/layers.py)
 

@@ -28,18 +28,24 @@ def _make_serving_fn(config: Config, params: Any, batch_stats: Any,
     # f32 either way (bf16 is activations-only), and bf16 ops in the exported
     # graph break LiteRT full-int8 legalization (bf16 tfl.pad is not
     # quantizable -> "failed to legalize operation 'tfl.pad'").
+    if config.model.head == "fpn":
+        raise ValueError(
+            "LiteRT/StableHLO export covers the single-grid heads; the fpn "
+            "head emits one grid per scale — serve it with the float "
+            "InferenceModel (eval/evaluator.py)")
     if config.model.compute_dtype != "float32":
         config = dataclasses.replace(
             config,
             model=dataclasses.replace(config.model, compute_dtype="float32"))
     model = build_model(config)
     g = config.grid
+    out_shape = (g.grid, g.grid, g.head_depth(config.model.head))
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(images: jnp.ndarray) -> jnp.ndarray:
-        """float32 [0,1] images -> (batch, S, S, B*5+C) grid predictions."""
+        """float32 [0,1] images -> (batch, S, S, depth) grid predictions."""
         y = model.apply(variables, images, train=False)
-        return y.reshape((-1,) + g.output_shape)
+        return y.reshape((-1,) + out_shape)
 
     return serve
 

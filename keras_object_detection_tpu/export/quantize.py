@@ -81,13 +81,34 @@ class QuantizedInferenceModel:
         self._qparams = jax.device_put(quantize_params(params))
         self._batch_stats = batch_stats
 
+        # head-aware decode, mirroring eval.evaluator.InferenceModel: the
+        # weight-only quantization is layout-agnostic, only decode differs.
+        if config.model.head == "fpn":
+            from keras_object_detection_tpu.core.fpn import decode_fpn_grids
+            anchors = tuple(tuple(a) for a in g.anchors)
+            decode = lambda y: decode_fpn_grids(  # noqa: E731
+                y, g.num_classes, anchors, g.grid, config.model.fpn_scales)
+            out_shape = None  # per-scale tuple, already shaped
+        elif config.model.head == "anchor":
+            from keras_object_detection_tpu.core.anchors import (
+                decode_anchor_grid)
+            anchors = tuple(tuple(a) for a in g.anchors)
+            decode = lambda y: decode_anchor_grid(  # noqa: E731
+                y, g.num_classes, anchors, g.grid)
+            out_shape = (g.grid, g.grid, g.head_depth("anchor"))
+        else:
+            decode = lambda y: decode_grid(  # noqa: E731
+                y, g.num_classes, g.num_boxes, g.grid)
+            out_shape = (g.grid, g.grid, g.cell_depth)
+
         def forward_decode_nms(qparams, batch_stats, images_u8):
             p = dequantize_params(qparams)
             x = images_u8.astype(jnp.float32) / 255.0
             y = model.apply({"params": p, "batch_stats": batch_stats}, x,
                             train=False)
-            y = y.reshape((-1,) + g.output_shape)
-            boxes = decode_grid(y, g.num_classes, g.num_boxes, g.grid)
+            if out_shape is not None:
+                y = y.reshape((-1,) + out_shape)
+            boxes = decode(y)
             return auto_batched_non_max_suppression(
                 boxes, e.iou_threshold, e.conf_threshold)
 

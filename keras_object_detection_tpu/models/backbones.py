@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from keras_object_detection_tpu.models.darknet import (
     ARCHITECTURE_CONFIG,
+    DARKNET19_CONFIG,
     DARKNET_MICRO_CONFIG,
     DARKNET_TINY_CONFIG,
     DarknetBackbone,
@@ -136,10 +137,18 @@ def _darknet_micro(dtype, activation="relu", bn_mode="flax"):
                            activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
+def _darknet19(dtype, activation="leaky_relu", bn_mode="flax"):
+    # YOLOv2's backbone (arXiv:1612.08242 Table 6); the paper uses
+    # LeakyReLU(0.1) throughout, so that is this variant's default.
+    return DarknetBackbone(architecture=DARKNET19_CONFIG,
+                           activation=activation, dtype=dtype, bn_mode=bn_mode)
+
+
 # activation applies to the darknet family (the reference's cnn_block knob,
 # ref model.py:62-63); VGG16/MobileNetV2 keep their canonical activations.
 BACKBONES = {
     "darknet24": _darknet24,
+    "darknet19": _darknet19,
     "darknet_tiny": _darknet_tiny,
     "darknet_micro": _darknet_micro,
     "vgg16": lambda dtype, activation="relu", bn_mode="flax":

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 # Backbone registry name -> (top-level flax module key in params tree)
 BACKBONE_PARAM_KEYS = {
     "darknet24": "DarknetBackbone_0",
+    "darknet19": "DarknetBackbone_0",
     "darknet_tiny": "DarknetBackbone_0",
     "darknet_micro": "DarknetBackbone_0",
     "vgg16": "VGG16Backbone_0",

@@ -86,6 +86,63 @@ class PassthroughConvHead(nn.Module):
         return x
 
 
+class FPNHead(nn.Module):
+    """YOLOv3-style multi-scale detection head (arXiv:1804.02767 §2.3
+    "Predictions Across Scales"; net-new — the reference repo is
+    YOLOv1-only). Pairs with ``DarknetBackbone(return_taps=num_scales-1)``.
+
+    Per scale (coarse -> fine): a 5-conv 1x1/3x3 alternating trunk at ``f``
+    channels, a 3x3(2f) + float32 1x1 prediction branch emitting the
+    per-scale anchor layout ``B_s*(5+C)`` (core/fpn.py), then a 1x1(f/2)
+    route + nearest 2x upsample concatenated with the next backbone tap —
+    exactly the v3 topology. The upsample is ``jnp.repeat`` twice (a
+    broadcast+reshape XLA lowers to a copy — no gather, MXU-friendly).
+    Channel widths halve per scale from ``base_filters`` (512/256/128 for
+    the paper's 3 scales).
+    """
+
+    cell_depth: int  # per-scale output depth B_s * (5 + C)
+    num_scales: int = 3
+    base_filters: int = 512
+    activation: str = "leaky_relu"  # the v3 paper's LeakyReLU(0.1)
+    dtype: Any = jnp.float32
+    bn_mode: str = "flax"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, taps: Sequence[jnp.ndarray],
+                 train: bool = False):
+        if len(taps) != self.num_scales - 1:
+            raise ValueError(
+                f"FPNHead with {self.num_scales} scales needs "
+                f"{self.num_scales - 1} backbone taps, got {len(taps)}")
+        kw = dict(activation=self.activation, dtype=self.dtype,
+                  bn_mode=self.bn_mode)
+        outs = []
+        f = self.base_filters
+        for s in range(self.num_scales):
+            for k in (1, 3, 1, 3, 1):  # the v3 5-conv trunk
+                x = ConvBlock(f if k == 1 else 2 * f, k, strides=1,
+                              padding="SAME", **kw)(x, train=train)
+            y = ConvBlock(2 * f, 3, strides=1, padding="SAME", **kw)(
+                x, train=train)
+            y = nn.Conv(self.cell_depth, (1, 1), dtype=jnp.float32,
+                        param_dtype=jnp.float32)(y.astype(jnp.float32))
+            outs.append(y)
+            if s + 1 < self.num_scales:
+                f //= 2
+                x = ConvBlock(f, 1, strides=1, padding="SAME", **kw)(
+                    x, train=train)
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                tap = taps[s]
+                if tap.shape[1] != x.shape[1]:
+                    raise ValueError(
+                        f"FPN tap {s} has spatial size {tap.shape[1]}, "
+                        f"expected {x.shape[1]} (backbone taps must be "
+                        "consecutive 2x-resolution steps)")
+                x = jnp.concatenate([x, tap.astype(x.dtype)], axis=-1)
+        return tuple(outs)
+
+
 class GAPDenseHead(nn.Module):
     """GAP dense head (ref model.py:97-107): GlobalAvgPool -> Dense(4960) ->
     BN -> ReLU -> Dense(S*S*depth), reshaped to the grid.
@@ -140,7 +197,7 @@ class MultiConvDenseHead(nn.Module):
         return x.reshape(x.shape[0], self.grid, self.grid, self.cell_depth)
 
 
-HEADS = {"conv", "gap_dense", "flatten_dense", "anchor"}
+HEADS = {"conv", "gap_dense", "flatten_dense", "anchor", "fpn"}
 
 
 class YoloV1(nn.Module):
@@ -176,18 +233,44 @@ class YoloV1(nn.Module):
     # via space_to_depth. Changes the head architecture, so checkpoints are
     # NOT interchangeable with passthrough off.
     passthrough: bool = False
+    # FPN (YOLOv3-style) scale count for head="fpn"; anchors are split by
+    # area across the scales (core/fpn.py partition_anchors).
+    fpn_scales: int = 3
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, train: bool = False):
         depth = self.num_classes + 5 * self.num_boxes
         if self.head == "anchor":
             depth = len(self.anchors) * (5 + self.num_classes)
+        elif self.head == "fpn":
+            from keras_object_detection_tpu.core.fpn import partition_anchors
+            per = partition_anchors(self.anchors, self.fpn_scales)
+            depth = len(per[0]) * (5 + self.num_classes)  # per-scale depth
         x = images.astype(self.compute_dtype)
         # NOTE: rematerialization is applied at the train-step level
         # (train/loop.py) via jax.checkpoint around the whole forward —
         # flax-module-level nn.remat would rename parameter scopes and break
         # checkpoint compatibility between remat on/off.
         tap = None
+        if self.head == "fpn":
+            if self.passthrough:
+                raise ValueError("passthrough is a YOLOv2 anchor-head knob; "
+                                 "the fpn head has its own lateral taps")
+            if not self.backbone.startswith("darknet"):
+                raise ValueError(
+                    f"head='fpn' supports darknet backbones only (pyramid "
+                    f"taps), got {self.backbone!r}")
+            from keras_object_detection_tpu.models.darknet import (
+                ARCHITECTURES)
+            x, taps = DarknetBackbone(
+                architecture=ARCHITECTURES[self.backbone],
+                activation=self.activation, dtype=self.compute_dtype,
+                bn_mode=self.bn_mode, return_taps=self.fpn_scales - 1)(
+                    x, train=train and not self.freeze_backbone)
+            return FPNHead(depth, num_scales=self.fpn_scales,
+                           activation=self.activation,
+                           dtype=self.compute_dtype,
+                           bn_mode=self.bn_mode)(x, taps, train=train)
         if self.passthrough:
             if self.head != "anchor":
                 raise ValueError("passthrough requires head='anchor'")
@@ -245,6 +328,12 @@ def build_model(config: Config) -> YoloV1:
     g: GridConfig = config.grid
     if m.head == "anchor":
         g.head_depth("anchor")  # raises "requires GridConfig.anchors" early
+    elif m.head == "fpn":
+        from keras_object_detection_tpu.core.fpn import partition_anchors
+        if not g.anchors:
+            raise ValueError("head='fpn' requires GridConfig.anchors (fit "
+                             "3*num_scales with tools/kmeans_anchors.py)")
+        partition_anchors(g.anchors, m.fpn_scales)  # raises on bad count
     return YoloV1(
         backbone=m.backbone,
         head=m.head,
@@ -260,4 +349,5 @@ def build_model(config: Config) -> YoloV1:
         bn_mode=getattr(m, "bn_mode", "flax"),
         freeze_backbone=getattr(m, "freeze_backbone", False),
         passthrough=getattr(m, "passthrough", False),
+        fpn_scales=getattr(m, "fpn_scales", 3),
     )

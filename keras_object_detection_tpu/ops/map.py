@@ -230,7 +230,7 @@ class MeanAveragePrecision:
     def __init__(self, num_classes: int, num_boxes: int = 2, grid: int = 7,
                  iou_threshold: float = 0.5, conf_threshold: float = 0.4,
                  map_iou_threshold: float = 0.5, nms_on_targets: bool = True,
-                 anchors: tuple = ()):
+                 anchors: tuple = (), fpn_scales: int = 0):
         self._num_classes = num_classes
         self._num_boxes = num_boxes
         self._grid = grid
@@ -246,12 +246,26 @@ class MeanAveragePrecision:
         # accumulator decodes with the YOLOv2 transforms; the matcher and
         # every result view are layout-agnostic downstream of decode.
         self._anchors = tuple(tuple(a) for a in anchors or ())
+        # FPN-family support (core/fpn.py): when fpn_scales > 0 (with anchor
+        # priors), y_true/y_pred are per-scale grid TUPLES (coarse -> fine,
+        # ``grid`` the coarsest) and decode concatenates the scales into one
+        # candidate set — everything downstream is candidate-count-agnostic.
+        self._fpn_scales = fpn_scales
         self._update = jax.jit(self._make_update())
         self.reset_states()
 
     def _make_update(self):
         def update(y_true, y_pred, image_valid):
-            if self._anchors:
+            if self._fpn_scales:
+                from keras_object_detection_tpu.core.fpn import (
+                    decode_fpn_grids, decode_fpn_targets)
+                tb = decode_fpn_targets(
+                    y_true, self._num_classes, self._anchors, self._grid,
+                    self._fpn_scales)
+                pb = decode_fpn_grids(
+                    y_pred, self._num_classes, self._anchors, self._grid,
+                    self._fpn_scales)
+            elif self._anchors:
                 from keras_object_detection_tpu.core.anchors import (
                     decode_anchor_grid, decode_anchor_targets)
                 tb = decode_anchor_targets(
@@ -296,8 +310,13 @@ class MeanAveragePrecision:
         ``image_valid``: optional ``(batch,)`` bool mask excluding padded
         images (EvalConfig.mask_padded_images path).
         """
+        if self._fpn_scales:  # per-scale grid tuples (pytree jit inputs)
+            y_true = tuple(jnp.asarray(t) for t in y_true)
+            y_pred = tuple(jnp.asarray(p) for p in y_pred)
+        else:
+            y_true, y_pred = jnp.asarray(y_true), jnp.asarray(y_pred)
         tboxes, tvalid, pboxes, pvalid = self._update(
-            jnp.asarray(y_true), jnp.asarray(y_pred),
+            y_true, y_pred,
             None if image_valid is None else jnp.asarray(image_valid))
         self._true.append(tboxes)
         self._tvalid.append(tvalid)

@@ -185,6 +185,11 @@ def validate_multiscale(config: Config) -> None:
             "multiscale_sizes requires a resolution-agnostic head: "
             "'conv' or 'gap_dense' (flatten_dense Dense kernels have "
             "resolution-dependent shapes)")
+    if config.model.head == "fpn":
+        raise ValueError(
+            "multiscale_sizes does not support head='fpn' yet: the "
+            "multiscale grid derivation assumes the single-scale conv "
+            "head's stride arithmetic (multiscale_grid)")
     for size in config.train.multiscale_sizes:
         multiscale_grid(config, size)  # raises on stride mismatch
 
@@ -202,14 +207,17 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
     out_size = config.model.image_size if image_size is None else image_size
     out_grid = g.grid if grid is None else grid
     anchor_head = config.model.head == "anchor"
+    fpn_head = config.model.head == "fpn"
+    fpn_scales = getattr(config.model, "fpn_scales", 3)
     anchors = tuple(tuple(a) for a in (getattr(g, "anchors", ()) or ()))
-    if anchor_head:
+    if anchor_head or fpn_head:
         if t.use_pallas_loss:
             raise ValueError("use_pallas_loss implements the v1 loss; the "
-                             "anchor head uses losses/yolov2.py")
+                             "anchor/fpn heads use losses/yolov2.py / "
+                             "losses/yolov3.py")
         if t.box_loss_mode != "mse":
             raise ValueError("box_loss_mode applies to the v1 loss; the "
-                             "anchor head's box terms are fixed "
+                             "anchor/fpn heads' box terms are fixed "
                              "(losses/yolov2.py)")
 
     freeze_key = None
@@ -253,7 +261,13 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
             # image_size, or a multiscale size for this epoch's step)
             out_size=out_size,
         )
-        if anchor_head:
+        if fpn_head:
+            from keras_object_detection_tpu.core.fpn import encode_fpn_grids
+            y_true = jax.vmap(
+                lambda b, v: encode_fpn_grids(b, v, g.num_classes, anchors,
+                                              out_grid, fpn_scales)
+            )(aboxes, avalid)
+        elif anchor_head:
             from keras_object_detection_tpu.core.anchors import (
                 encode_anchor_grid)
             y_true = jax.vmap(
@@ -297,6 +311,13 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                 params[freeze_key] = jax.tree_util.tree_map(
                     jax.lax.stop_gradient, params[freeze_key])
             y_pred, updates = forward(params, batch_stats, images)
+            if fpn_head:
+                from keras_object_detection_tpu.losses.yolov3 import (
+                    yolo_v3_loss_terms)
+                terms = yolo_v3_loss_terms(
+                    y_true, y_pred, g.num_classes, anchors, fpn_scales,
+                    t.lambda_coord, t.lambda_noobj)
+                return terms["total"], (terms, updates["batch_stats"])
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             if anchor_head:
                 from keras_object_detection_tpu.losses.yolov2 import (
@@ -393,12 +414,20 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
     t = config.train
 
     anchor_head = config.model.head == "anchor"
+    fpn_head = config.model.head == "fpn"
+    fpn_scales = getattr(config.model, "fpn_scales", 3)
     anchors = tuple(tuple(a) for a in (getattr(g, "anchors", ()) or ()))
 
     def eval_step(state: TrainState, images_u8, boxes, valid,
                   image_weight=None):
         images = preprocess_eval_batch(images_u8)
-        if anchor_head:
+        if fpn_head:
+            from keras_object_detection_tpu.core.fpn import encode_fpn_grids
+            y_true = jax.vmap(
+                lambda b, v: encode_fpn_grids(b, v, g.num_classes, anchors,
+                                              g.grid, fpn_scales)
+            )(boxes, valid)
+        elif anchor_head:
             from keras_object_detection_tpu.core.anchors import (
                 encode_anchor_grid)
             y_true = jax.vmap(
@@ -418,6 +447,13 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
         y_pred = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
+        if fpn_head:
+            from keras_object_detection_tpu.losses.yolov3 import (
+                yolo_v3_loss_terms)
+            terms = yolo_v3_loss_terms(
+                y_true, y_pred, g.num_classes, anchors, fpn_scales,
+                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight)
+            return terms["total"], y_true, y_pred
         y_pred = y_pred.reshape(y_true.shape)
         if anchor_head:
             from keras_object_detection_tpu.losses.yolov2 import (
@@ -553,7 +589,9 @@ class Trainer:
             conf_threshold=config.eval.conf_threshold,
             map_iou_threshold=config.eval.map_iou_threshold,
             anchors=(config.grid.anchors
-                     if config.model.head == "anchor" else ()))
+                     if config.model.head in ("anchor", "fpn") else ()),
+            fpn_scales=(config.model.fpn_scales
+                        if config.model.head == "fpn" else 0))
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(

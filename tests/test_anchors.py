@@ -175,7 +175,7 @@ def test_anchor_head_requires_anchors():
 
 def test_anchor_guards():
     from keras_object_detection_tpu.train.loop import make_train_step
-    with pytest.raises(ValueError, match="anchor head uses"):
+    with pytest.raises(ValueError, match="implements the v1 loss"):
         make_train_step(_cfg(use_pallas_loss=True))
     with pytest.raises(ValueError, match="box terms are fixed"):
         make_train_step(_cfg(box_loss_mode="ciou"))

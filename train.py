@@ -28,13 +28,15 @@ def parse_args():
     p.add_argument("--test-dir")
     p.add_argument("--preset", choices=["tiny", "voc"], default="voc")
     p.add_argument("--backbone",
-                   choices=["darknet24", "darknet_tiny", "darknet_micro",
-                            "vgg16", "mobilenetv2"])
+                   choices=["darknet24", "darknet19", "darknet_tiny",
+                            "darknet_micro", "vgg16", "mobilenetv2"])
     p.add_argument("--head",
-                   choices=["conv", "gap_dense", "flatten_dense", "anchor"])
+                   choices=["conv", "gap_dense", "flatten_dense", "anchor",
+                            "fpn"])
     p.add_argument("--anchors", metavar="W,H;W,H;...",
-                   help="anchor priors in image ratios for --head anchor "
-                        "(fit with tools/kmeans_anchors.py)")
+                   help="anchor priors in image ratios for --head anchor/fpn "
+                        "(fit with tools/kmeans_anchors.py; fpn needs a "
+                        "multiple of its scale count, split by area)")
     p.add_argument("--image-size", type=int)
     p.add_argument("--num-classes", type=int)
     p.add_argument("--batch-size", type=int)
