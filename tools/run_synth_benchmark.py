@@ -38,9 +38,14 @@ def main():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--backbone", default="darknet_tiny")
-    p.add_argument("--head", default="conv", choices=("conv", "anchor"),
-                   help="anchor = the YOLOv2-style family "
-                        "(core/anchors.py); needs --anchors")
+    p.add_argument("--head", default="conv",
+                   choices=("conv", "anchor", "fpn"),
+                   help="anchor = the YOLOv2-style family (core/anchors.py); "
+                        "fpn = the YOLOv3-style multi-scale family "
+                        "(core/fpn.py); both need --anchors")
+    p.add_argument("--fpn-scales", type=int, default=2,
+                   help="for --head fpn: prediction scale count (grids "
+                        "S, 2S, ...); anchor count must divide evenly")
     p.add_argument("--passthrough", action="store_true",
                    help="for --head anchor: YOLOv2 passthrough/reorg skip "
                         "from the 2x-resolution backbone tap (models/yolo.py "
@@ -122,7 +127,7 @@ def main():
     from keras_object_detection_tpu.train.loop import Trainer
 
     anchors = ()
-    if args.head == "anchor":
+    if args.head in ("anchor", "fpn"):
         if args.anchors.startswith("kmeans:"):
             # fit priors to the train labels (YOLOv2 "Dimension Clusters")
             import numpy as np
@@ -147,7 +152,8 @@ def main():
         model=ModelConfig(backbone=args.backbone, head=args.head,
                           image_size=args.image_size,
                           activation=args.activation,
-                          passthrough=args.passthrough),
+                          passthrough=args.passthrough,
+                          fpn_scales=args.fpn_scales),
         data=DataConfig(
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
@@ -217,6 +223,7 @@ def main():
         backbone=args.backbone,
         head=args.head,
         passthrough=args.passthrough,
+        fpn_scales=(args.fpn_scales if args.head == "fpn" else None),
         anchors=[list(a) for a in anchors],
         image_size=args.image_size,
         batch_size=args.batch_size,
