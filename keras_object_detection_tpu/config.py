@@ -244,6 +244,11 @@ class TrainConfig:
     # "diou" (Distance-IoU, Zheng et al. 2019), "ciou" (+ aspect-ratio
     # consistency, same paper), "alpha_iou" (alpha-DIoU, He et al. 2021).
     box_loss_mode: str = "mse"
+    # Anchor/fpn families only (beyond parity): darknet's no-object ignore
+    # mask — unassigned slots whose decoded prediction overlaps any GT above
+    # this IoU are exempted from the no-object term (v2 uses 0.6, v3 0.5).
+    # None = off (every unassigned slot penalized, the framework default).
+    ignore_threshold: Optional[float] = None
     # Multi-scale training (YOLOv2-style, beyond parity): train epochs at
     # randomly chosen input resolutions from this tuple; () disables. Each
     # size is one cached XLA compile (static shapes); the conv head's target

@@ -64,3 +64,25 @@ def pairwise_iou_cxcywh(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
     matrix instead of a ``tf.while_loop``.
     """
     return iou_cxcywh(boxes1[..., :, None, :], boxes2[..., None, :, :])[..., 0]
+
+
+def pairwise_iou_cxcywh_exact(boxes1: jnp.ndarray,
+                              boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Geometrically-correct all-pairs IoU (``(..., N, 4) x (..., M, 4) ->
+    (..., N, M)``) — true corners ``cx - w/2``, no clip quirk.
+
+    The reference expression ``(cx - w)/2`` (reproduced by
+    ``cxcywh_to_corners`` for bit-parity) halves centers but NOT sizes, so
+    offset boxes score INFLATED IoU. Parity surfaces (loss/NMS/mAP) keep the
+    quirk; beyond-parity consumers that need real geometry — the darknet
+    ignore mask (losses/yolov2.py ``ignore_threshold``) — use this one.
+    """
+    b1, b2 = boxes1[..., :, None, :], boxes2[..., None, :, :]
+    x1 = jnp.maximum(b1[..., 0] - b1[..., 2] / 2, b2[..., 0] - b2[..., 2] / 2)
+    y1 = jnp.maximum(b1[..., 1] - b1[..., 3] / 2, b2[..., 1] - b2[..., 3] / 2)
+    x2 = jnp.minimum(b1[..., 0] + b1[..., 2] / 2, b2[..., 0] + b2[..., 2] / 2)
+    y2 = jnp.minimum(b1[..., 1] + b1[..., 3] / 2, b2[..., 1] + b2[..., 3] / 2)
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    union = (jnp.abs(b1[..., 2] * b1[..., 3])
+             + jnp.abs(b2[..., 2] * b2[..., 3]) - inter)
+    return inter / jnp.maximum(union, _EPS)

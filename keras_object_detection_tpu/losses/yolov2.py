@@ -16,7 +16,11 @@ are the raw head output with the same layout before activations. Terms:
            YOLOv1-parity convention this framework's v1 loss already
            documents, kept here for family consistency.)
 - noobj:   MSE of sigmoid(obj) against 0 on unassigned slots, scaled by
-           lambda_noobj.
+           lambda_noobj. With ``ignore_threshold`` set (darknet v2 uses
+           0.6, v3 0.5), unassigned slots whose DECODED prediction already
+           overlaps any ground-truth box above the threshold are exempted
+           — the standard anchor-family fix for penalizing near-duplicate
+           localizations of the same object. Opt-in (None = off).
 - class:   softmax cross-entropy on assigned slots (darknet v2 uses
            squared error on probabilities; CE is the standard modern
            choice and converges faster — documented deviation).
@@ -42,11 +46,18 @@ def yolo_v2_loss_terms(
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
     sample_weight: jnp.ndarray = None,
+    ignore_threshold: float = None,
+    gt_boxes: jnp.ndarray = None,
+    gt_valid: jnp.ndarray = None,
 ) -> Dict[str, jnp.ndarray]:
     """Sum-reduced anchor-loss terms for ``(batch, S, S, B*(5+C))`` grids.
 
     ``sample_weight``: optional ``(batch,)`` 0/1 per-image weights (the
-    padded-image masking contract shared with losses/yolo.py)."""
+    padded-image masking contract shared with losses/yolo.py).
+    ``ignore_threshold`` (+ the padded ``gt_boxes (batch, N, 5)`` /
+    ``gt_valid (batch, N)`` that fed the encoder): exempt unassigned slots
+    whose decoded prediction has best-IoU > threshold with any GT from the
+    no-object term (darknet's ignore mask; opt-in)."""
     nb = len(anchors)
     depth = 5 + num_classes
     b = y_true.shape[0]
@@ -55,6 +66,27 @@ def yolo_v2_loss_terms(
 
     obj = t[..., 0]  # (b, S*S, B) 0/1 assignment mask
     noobj = 1.0 - obj
+    if ignore_threshold is not None:
+        if gt_boxes is None or gt_valid is None:
+            raise ValueError("ignore_threshold needs gt_boxes/gt_valid (the "
+                             "padded box list the targets were encoded from)")
+        from keras_object_detection_tpu.core.anchors import decode_anchor_grid
+        from keras_object_detection_tpu.core.boxes import (
+            pairwise_iou_cxcywh_exact)
+
+        grid = int(round(t.shape[1] ** 0.5))  # S*S cells
+        # decoded slot boxes, flat (cell, anchor) order — the SAME order as
+        # t/p's reshape above (decode_anchor_grid reshapes row-major too).
+        # EXACT IoU: the parity-quirk corners would inflate offset overlaps
+        # (see core/boxes.py pairwise_iou_cxcywh_exact).
+        pred_xy_wh = decode_anchor_grid(
+            y_pred.reshape(b, grid, grid, nb * depth).astype(jnp.float32),
+            num_classes, anchors, grid)[..., 2:6]  # (b, S*S*B, 4)
+        ious = pairwise_iou_cxcywh_exact(
+            pred_xy_wh, gt_boxes[..., :4].astype(jnp.float32))  # (b,S*S*B,N)
+        ious = jnp.where(gt_valid[:, None, :].astype(bool), ious, 0.0)
+        best = jnp.max(ious, axis=-1).reshape(obj.shape)
+        noobj = noobj * (best <= ignore_threshold).astype(noobj.dtype)
 
     def persum(x):  # sum everything but the batch axis -> (b,)
         return jnp.sum(x.reshape(b, -1), axis=-1)

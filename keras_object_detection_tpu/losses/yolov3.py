@@ -29,12 +29,18 @@ def yolo_v3_loss_terms(
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
     sample_weight: jnp.ndarray = None,
+    ignore_threshold: float = None,
+    gt_boxes: jnp.ndarray = None,
+    gt_valid: jnp.ndarray = None,
 ) -> Dict[str, jnp.ndarray]:
     """Sum-reduced loss terms over per-scale ``(batch, S_s, S_s, B_s*(5+C))``
     grid tuples (coarse -> fine, the ``FPNHead`` output order).
 
     ``sample_weight``: optional ``(batch,)`` 0/1 per-image weights (the
-    padded-image masking contract shared with losses/yolo.py)."""
+    padded-image masking contract shared with losses/yolo.py).
+    ``ignore_threshold``/``gt_boxes``/``gt_valid``: darknet's no-object
+    ignore mask, applied PER SCALE against the full GT list (v3 uses 0.5;
+    see losses/yolov2.py)."""
     parts = partition_anchors(anchors, num_scales)
     if len(y_true) != num_scales or len(y_pred) != num_scales:
         raise ValueError(
@@ -44,7 +50,9 @@ def yolo_v3_loss_terms(
     for s in range(num_scales):
         terms = yolo_v2_loss_terms(
             y_true[s], y_pred[s], num_classes, parts[s],
-            lambda_coord, lambda_noobj, sample_weight=sample_weight)
+            lambda_coord, lambda_noobj, sample_weight=sample_weight,
+            ignore_threshold=ignore_threshold, gt_boxes=gt_boxes,
+            gt_valid=gt_valid)
         for k, v in terms.items():
             total[k] = total.get(k, 0.0) + v
     return total

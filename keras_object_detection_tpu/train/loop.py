@@ -219,6 +219,10 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
             raise ValueError("box_loss_mode applies to the v1 loss; the "
                              "anchor/fpn heads' box terms are fixed "
                              "(losses/yolov2.py)")
+    elif getattr(t, "ignore_threshold", None) is not None:
+        raise ValueError("ignore_threshold is an anchor/fpn-family knob "
+                         "(losses/yolov2.py); the v1 loss has no "
+                         "unassigned-slot confidence term to exempt")
 
     freeze_key = None
     if getattr(config.model, "freeze_backbone", False):
@@ -311,12 +315,15 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                 params[freeze_key] = jax.tree_util.tree_map(
                     jax.lax.stop_gradient, params[freeze_key])
             y_pred, updates = forward(params, batch_stats, images)
+            ignore = getattr(t, "ignore_threshold", None)
             if fpn_head:
                 from keras_object_detection_tpu.losses.yolov3 import (
                     yolo_v3_loss_terms)
                 terms = yolo_v3_loss_terms(
                     y_true, y_pred, g.num_classes, anchors, fpn_scales,
-                    t.lambda_coord, t.lambda_noobj)
+                    t.lambda_coord, t.lambda_noobj,
+                    ignore_threshold=ignore, gt_boxes=aboxes,
+                    gt_valid=avalid)
                 return terms["total"], (terms, updates["batch_stats"])
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             if anchor_head:
@@ -324,7 +331,9 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     yolo_v2_loss_terms)
                 terms = yolo_v2_loss_terms(
                     y_true, y_pred, g.num_classes, anchors,
-                    t.lambda_coord, t.lambda_noobj)
+                    t.lambda_coord, t.lambda_noobj,
+                    ignore_threshold=ignore, gt_boxes=aboxes,
+                    gt_valid=avalid)
             elif t.use_pallas_loss:
                 from keras_object_detection_tpu.ops.pallas_loss import (
                     pallas_yolo_v1_loss)
@@ -447,12 +456,14 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
         y_pred = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
+        ignore = getattr(t, "ignore_threshold", None)
         if fpn_head:
             from keras_object_detection_tpu.losses.yolov3 import (
                 yolo_v3_loss_terms)
             terms = yolo_v3_loss_terms(
                 y_true, y_pred, g.num_classes, anchors, fpn_scales,
-                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight)
+                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight,
+                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid)
             return terms["total"], y_true, y_pred
         y_pred = y_pred.reshape(y_true.shape)
         if anchor_head:
@@ -460,7 +471,8 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
                 yolo_v2_loss_terms)
             terms = yolo_v2_loss_terms(
                 y_true, y_pred, g.num_classes, anchors,
-                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight)
+                t.lambda_coord, t.lambda_noobj, sample_weight=image_weight,
+                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid)
         else:
             terms = yolo_v1_loss_terms(
                 y_true, y_pred, g.num_classes, g.num_boxes,

@@ -99,6 +99,9 @@ def main():
                    help="comma-separated multiscale training sizes")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step")
+    p.add_argument("--ignore-threshold", type=float, default=None,
+                   help="anchor/fpn: darknet's no-object ignore mask IoU "
+                        "(TrainConfig.ignore_threshold; v2 0.6 / v3 0.5)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="train with the fused Pallas loss kernel "
                         "(use_pallas_loss=True) — soak-test path")
@@ -173,6 +176,7 @@ def main():
             # the paper's no-object term trains both box slots' confidences
             noobj_mode="all",
             box_loss_mode=args.box_loss,
+            ignore_threshold=args.ignore_threshold,
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
             log_dir=os.path.join(args.workdir, "logs"),
             map_eval_start_epoch=(args.map_start or args.epochs + 1),
@@ -232,6 +236,7 @@ def main():
         schedule=args.schedule,
         activation=args.activation,
         box_loss=args.box_loss,
+        ignore_threshold=args.ignore_threshold,
         mosaic_prob=args.mosaic,
         mixup_prob=args.mixup,
         multiscale=args.multiscale,

@@ -102,6 +102,10 @@ def parse_args():
                    help="split each batch into N microbatches inside the "
                         "jitted step (summed gradients, one update): ~N-fold "
                         "lower activation memory, so --batch-size can grow")
+    p.add_argument("--ignore-threshold", type=float, metavar="IOU",
+                   help="anchor/fpn heads: exempt unassigned slots whose "
+                        "decoded prediction overlaps any GT above this IoU "
+                        "from the no-object loss (darknet uses 0.6/0.5)")
     return p.parse_args()
 
 
@@ -148,7 +152,8 @@ def build_config(args):
                                      if args.multiscale else None),
                    multiscale_every=args.multiscale_every,
                    grad_accum_steps=args.grad_accum,
-                   weight_decay=args.weight_decay),
+                   weight_decay=args.weight_decay,
+                   ignore_threshold=args.ignore_threshold),
         mesh=over(cfg.mesh, data_parallel=args.data_parallel),
     )
 
