@@ -249,6 +249,10 @@ class TrainConfig:
     # this IoU are exempted from the no-object term (v2 uses 0.6, v3 0.5).
     # None = off (every unassigned slot penalized, the framework default).
     ignore_threshold: Optional[float] = None
+    # Anchor/fpn families only: assigned-slot confidence target. "one" =
+    # constant 1 (the v1-parity convention, default); "iou" = darknet v2/v3's
+    # live exact IoU between the decoded prediction and its GT (stop-grad).
+    obj_target: str = "one"
     # Multi-scale training (YOLOv2-style, beyond parity): train epochs at
     # randomly chosen input resolutions from this tuple; () disables. Each
     # size is one cached XLA compile (static shapes); the conv head's target

@@ -66,18 +66,17 @@ def pairwise_iou_cxcywh(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
     return iou_cxcywh(boxes1[..., :, None, :], boxes2[..., None, :, :])[..., 0]
 
 
-def pairwise_iou_cxcywh_exact(boxes1: jnp.ndarray,
-                              boxes2: jnp.ndarray) -> jnp.ndarray:
-    """Geometrically-correct all-pairs IoU (``(..., N, 4) x (..., M, 4) ->
-    (..., N, M)``) — true corners ``cx - w/2``, no clip quirk.
+def iou_cxcywh_exact(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Geometrically-correct elementwise (broadcasting) IoU
+    (``(..., 4) x (..., 4) -> (...)``) — true corners ``cx - w/2``, no clip
+    quirk.
 
     The reference expression ``(cx - w)/2`` (reproduced by
     ``cxcywh_to_corners`` for bit-parity) halves centers but NOT sizes, so
     offset boxes score INFLATED IoU. Parity surfaces (loss/NMS/mAP) keep the
     quirk; beyond-parity consumers that need real geometry — the darknet
-    ignore mask (losses/yolov2.py ``ignore_threshold``) — use this one.
+    ignore mask and IoU objectness target (losses/yolov2.py) — use this one.
     """
-    b1, b2 = boxes1[..., :, None, :], boxes2[..., None, :, :]
     x1 = jnp.maximum(b1[..., 0] - b1[..., 2] / 2, b2[..., 0] - b2[..., 2] / 2)
     y1 = jnp.maximum(b1[..., 1] - b1[..., 3] / 2, b2[..., 1] - b2[..., 3] / 2)
     x2 = jnp.minimum(b1[..., 0] + b1[..., 2] / 2, b2[..., 0] + b2[..., 2] / 2)
@@ -86,3 +85,10 @@ def pairwise_iou_cxcywh_exact(boxes1: jnp.ndarray,
     union = (jnp.abs(b1[..., 2] * b1[..., 3])
              + jnp.abs(b2[..., 2] * b2[..., 3]) - inter)
     return inter / jnp.maximum(union, _EPS)
+
+
+def pairwise_iou_cxcywh_exact(boxes1: jnp.ndarray,
+                              boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Exact-geometry all-pairs IoU: ``(..., N, 4) x (..., M, 4) ->
+    (..., N, M)`` (see ``iou_cxcywh_exact``)."""
+    return iou_cxcywh_exact(boxes1[..., :, None, :], boxes2[..., None, :, :])

@@ -11,10 +11,14 @@ are the raw head output with the same layout before activations. Terms:
            log-space size directly keeps the gradient linear in the
            mismatch (darknet compares post-exp sizes; log-space is the
            numerically tame equivalent), scaled by lambda_coord.
-- object:  MSE of sigmoid(obj) against 1 on assigned slots. (YOLOv2 uses
-           the live IoU as the target; the constant-1 target is the
-           YOLOv1-parity convention this framework's v1 loss already
-           documents, kept here for family consistency.)
+- object:  MSE of sigmoid(obj) against 1 on assigned slots
+           (``obj_target="one"``, the YOLOv1-parity convention this
+           framework's v1 loss already documents, kept as the default for
+           family consistency). ``obj_target="iou"`` restores darknet v2/
+           v3's semantics: the target is the LIVE exact IoU between the
+           decoded prediction and its assigned GT box (stop-gradient, so
+           the confidence chases localization quality without warping the
+           box gradients).
 - noobj:   MSE of sigmoid(obj) against 0 on unassigned slots, scaled by
            lambda_noobj. With ``ignore_threshold`` set (darknet v2 uses
            0.6, v3 0.5), unassigned slots whose DECODED prediction already
@@ -49,6 +53,7 @@ def yolo_v2_loss_terms(
     ignore_threshold: float = None,
     gt_boxes: jnp.ndarray = None,
     gt_valid: jnp.ndarray = None,
+    obj_target: str = "one",
 ) -> Dict[str, jnp.ndarray]:
     """Sum-reduced anchor-loss terms for ``(batch, S, S, B*(5+C))`` grids.
 
@@ -66,22 +71,28 @@ def yolo_v2_loss_terms(
 
     obj = t[..., 0]  # (b, S*S, B) 0/1 assignment mask
     noobj = 1.0 - obj
+
+    grid = int(round(t.shape[1] ** 0.5))  # S*S cells
+    pred_xy_wh = None  # decoded slot boxes, shared by ignore mask / IoU target
+
+    def decoded_preds():
+        # flat (cell, anchor) order — the SAME order as t/p's reshape above
+        # (decode_anchor_grid reshapes row-major too)
+        from keras_object_detection_tpu.core.anchors import decode_anchor_grid
+        return decode_anchor_grid(
+            y_pred.reshape(b, grid, grid, nb * depth).astype(jnp.float32),
+            num_classes, anchors, grid)[..., 2:6]  # (b, S*S*B, 4)
+
     if ignore_threshold is not None:
         if gt_boxes is None or gt_valid is None:
             raise ValueError("ignore_threshold needs gt_boxes/gt_valid (the "
                              "padded box list the targets were encoded from)")
-        from keras_object_detection_tpu.core.anchors import decode_anchor_grid
         from keras_object_detection_tpu.core.boxes import (
             pairwise_iou_cxcywh_exact)
 
-        grid = int(round(t.shape[1] ** 0.5))  # S*S cells
-        # decoded slot boxes, flat (cell, anchor) order — the SAME order as
-        # t/p's reshape above (decode_anchor_grid reshapes row-major too).
         # EXACT IoU: the parity-quirk corners would inflate offset overlaps
-        # (see core/boxes.py pairwise_iou_cxcywh_exact).
-        pred_xy_wh = decode_anchor_grid(
-            y_pred.reshape(b, grid, grid, nb * depth).astype(jnp.float32),
-            num_classes, anchors, grid)[..., 2:6]  # (b, S*S*B, 4)
+        # (see core/boxes.py iou_cxcywh_exact).
+        pred_xy_wh = decoded_preds()
         ious = pairwise_iou_cxcywh_exact(
             pred_xy_wh, gt_boxes[..., :4].astype(jnp.float32))  # (b,S*S*B,N)
         ious = jnp.where(gt_valid[:, None, :].astype(bool), ious, 0.0)
@@ -97,7 +108,27 @@ def yolo_v2_loss_terms(
     box_loss = lambda_coord * (box_xy + box_wh)
 
     pobj = jax.nn.sigmoid(p[..., 0])
-    object_loss = persum(obj * jnp.square(pobj - 1.0))
+    if obj_target == "one":
+        tgt = 1.0
+    elif obj_target == "iou":
+        # darknet v2/v3: confidence chases the LIVE localization quality.
+        # Target slot boxes decode from the (inverse-transform) targets;
+        # stop_gradient so the box terms keep their own clean gradients.
+        from keras_object_detection_tpu.core.anchors import (
+            decode_anchor_targets)
+        from keras_object_detection_tpu.core.boxes import iou_cxcywh_exact
+
+        if pred_xy_wh is None:
+            pred_xy_wh = decoded_preds()
+        true_xy_wh = decode_anchor_targets(
+            y_true.reshape(b, grid, grid, nb * depth).astype(jnp.float32),
+            num_classes, anchors, grid)[..., 2:6]
+        live = iou_cxcywh_exact(pred_xy_wh, true_xy_wh).reshape(obj.shape)
+        tgt = jax.lax.stop_gradient(live)
+    else:
+        raise ValueError(f"unknown obj_target {obj_target!r} "
+                         "(expected 'one' or 'iou')")
+    object_loss = persum(obj * jnp.square(pobj - tgt))
     no_object_loss = lambda_noobj * persum(noobj * jnp.square(pobj))
 
     logp = jax.nn.log_softmax(p[..., 5:], axis=-1)

@@ -32,6 +32,7 @@ def yolo_v3_loss_terms(
     ignore_threshold: float = None,
     gt_boxes: jnp.ndarray = None,
     gt_valid: jnp.ndarray = None,
+    obj_target: str = "one",
 ) -> Dict[str, jnp.ndarray]:
     """Sum-reduced loss terms over per-scale ``(batch, S_s, S_s, B_s*(5+C))``
     grid tuples (coarse -> fine, the ``FPNHead`` output order).
@@ -52,7 +53,7 @@ def yolo_v3_loss_terms(
             y_true[s], y_pred[s], num_classes, parts[s],
             lambda_coord, lambda_noobj, sample_weight=sample_weight,
             ignore_threshold=ignore_threshold, gt_boxes=gt_boxes,
-            gt_valid=gt_valid)
+            gt_valid=gt_valid, obj_target=obj_target)
         for k, v in terms.items():
             total[k] = total.get(k, 0.0) + v
     return total

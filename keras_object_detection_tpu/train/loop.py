@@ -223,6 +223,10 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
         raise ValueError("ignore_threshold is an anchor/fpn-family knob "
                          "(losses/yolov2.py); the v1 loss has no "
                          "unassigned-slot confidence term to exempt")
+    elif getattr(t, "obj_target", "one") != "one":
+        raise ValueError("obj_target is an anchor/fpn-family knob "
+                         "(losses/yolov2.py); the v1 loss already uses the "
+                         "reference's IoU-as-target convention")
 
     freeze_key = None
     if getattr(config.model, "freeze_backbone", False):
@@ -316,6 +320,7 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     jax.lax.stop_gradient, params[freeze_key])
             y_pred, updates = forward(params, batch_stats, images)
             ignore = getattr(t, "ignore_threshold", None)
+            obj_tgt = getattr(t, "obj_target", "one")
             if fpn_head:
                 from keras_object_detection_tpu.losses.yolov3 import (
                     yolo_v3_loss_terms)
@@ -323,7 +328,7 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     y_true, y_pred, g.num_classes, anchors, fpn_scales,
                     t.lambda_coord, t.lambda_noobj,
                     ignore_threshold=ignore, gt_boxes=aboxes,
-                    gt_valid=avalid)
+                    gt_valid=avalid, obj_target=obj_tgt)
                 return terms["total"], (terms, updates["batch_stats"])
             y_pred = y_pred.reshape(y_true.shape)  # flat-head variants
             if anchor_head:
@@ -333,7 +338,7 @@ def make_train_step(config: Config, image_size: Optional[int] = None,
                     y_true, y_pred, g.num_classes, anchors,
                     t.lambda_coord, t.lambda_noobj,
                     ignore_threshold=ignore, gt_boxes=aboxes,
-                    gt_valid=avalid)
+                    gt_valid=avalid, obj_target=obj_tgt)
             elif t.use_pallas_loss:
                 from keras_object_detection_tpu.ops.pallas_loss import (
                     pallas_yolo_v1_loss)
@@ -457,13 +462,15 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
             {"params": params, "batch_stats": state.batch_stats},
             images, train=False)
         ignore = getattr(t, "ignore_threshold", None)
+        obj_tgt = getattr(t, "obj_target", "one")
         if fpn_head:
             from keras_object_detection_tpu.losses.yolov3 import (
                 yolo_v3_loss_terms)
             terms = yolo_v3_loss_terms(
                 y_true, y_pred, g.num_classes, anchors, fpn_scales,
                 t.lambda_coord, t.lambda_noobj, sample_weight=image_weight,
-                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid)
+                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid,
+                obj_target=obj_tgt)
             return terms["total"], y_true, y_pred
         y_pred = y_pred.reshape(y_true.shape)
         if anchor_head:
@@ -472,7 +479,8 @@ def make_eval_step(config: Config, use_ema: Optional[bool] = None):
             terms = yolo_v2_loss_terms(
                 y_true, y_pred, g.num_classes, anchors,
                 t.lambda_coord, t.lambda_noobj, sample_weight=image_weight,
-                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid)
+                ignore_threshold=ignore, gt_boxes=boxes, gt_valid=valid,
+                obj_target=obj_tgt)
         else:
             terms = yolo_v1_loss_terms(
                 y_true, y_pred, g.num_classes, g.num_boxes,

@@ -117,6 +117,63 @@ def test_fpn_loss_with_ignore_finite_and_monotone():
     assert float(masked["no_object_loss"]) <= float(base["no_object_loss"])
 
 
+def test_obj_target_iou_semantics():
+    """obj_target='iou': the assigned-slot confidence target is the live
+    exact IoU of the decoded prediction vs its GT, stop-gradient."""
+    gt = jnp.asarray([[0.5, 0.5, 0.5, 0.5, 1.0]])
+    valid = jnp.asarray([True])
+    y_true = encode_anchor_grid(gt, valid, C, ANCHORS, grid=7)[None]
+
+    # assigned slot = cell (3,3), anchor 1. Predict a HALF-WIDTH box there:
+    # w = 0.5*exp(tw) = 0.25 -> tw = ln(0.5); cx/cy on target (tx=logit(0.5)=0)
+    p = np.zeros((1, 7, 7, len(ANCHORS) * DEPTH), np.float32)
+    tw = float(np.log(0.5))
+    p[0, 3, 3, DEPTH + 3] = tw  # anchor-1 slot's tw
+    y_pred = jnp.asarray(p)
+
+    one = yolo_v2_loss_terms(y_true, y_pred, C, ANCHORS, obj_target="one")
+    iou = yolo_v2_loss_terms(y_true, y_pred, C, ANCHORS, obj_target="iou")
+    # decoded pred: (0.5, 0.5, 0.25, 0.5) vs GT (0.5, 0.5, 0.5, 0.5):
+    # inter = 0.25*0.5, union = 0.25 -> IoU 0.5. pobj = sigmoid(0) = 0.5.
+    # object_loss: one -> (0.5-1)^2 = 0.25; iou -> (0.5-0.5)^2 = 0.
+    assert float(one["object_loss"]) == pytest.approx(0.25, rel=1e-5)
+    assert float(iou["object_loss"]) == pytest.approx(0.0, abs=1e-9)
+    # every other term identical
+    for k in ("box_loss", "no_object_loss", "class_loss"):
+        assert float(one[k]) == pytest.approx(float(iou[k]), rel=1e-6)
+    with pytest.raises(ValueError, match="obj_target"):
+        yolo_v2_loss_terms(y_true, y_pred, C, ANCHORS, obj_target="bogus")
+
+
+def test_obj_target_iou_stops_gradient():
+    """The IoU target must not leak gradient into the box logits."""
+    gt = jnp.asarray([[0.5, 0.5, 0.5, 0.5, 1.0]])
+    valid = jnp.asarray([True])
+    y_true = encode_anchor_grid(gt, valid, C, ANCHORS, grid=7)[None]
+
+    def obj_loss_of_tw(tw):
+        p = jnp.zeros((1, 7, 7, len(ANCHORS) * DEPTH))
+        p = p.at[0, 3, 3, DEPTH + 3].set(tw)
+        return yolo_v2_loss_terms(y_true, p, C, ANCHORS,
+                                  obj_target="iou")["object_loss"]
+
+    g = jax.grad(obj_loss_of_tw)(jnp.float32(np.log(0.5)))
+    assert float(g) == 0.0
+
+
+def test_v1_head_rejects_obj_target():
+    from keras_object_detection_tpu.config import (Config, GridConfig,
+                                                   ModelConfig, TrainConfig)
+    from keras_object_detection_tpu.train.loop import make_train_step
+
+    cfg = Config(grid=GridConfig(num_classes=C),
+                 model=ModelConfig(backbone="darknet_micro", head="conv",
+                                   image_size=56, compute_dtype="float32"),
+                 train=TrainConfig(obj_target="iou"))
+    with pytest.raises(ValueError, match="anchor/fpn-family"):
+        make_train_step(cfg)
+
+
 def test_anchor_train_step_with_ignore(tmp_path):
     from keras_object_detection_tpu.config import (Config, DataConfig,
                                                    GridConfig, ModelConfig,

@@ -102,6 +102,9 @@ def main():
     p.add_argument("--ignore-threshold", type=float, default=None,
                    help="anchor/fpn: darknet's no-object ignore mask IoU "
                         "(TrainConfig.ignore_threshold; v2 0.6 / v3 0.5)")
+    p.add_argument("--obj-target", default="one", choices=("one", "iou"),
+                   help="anchor/fpn: assigned-slot confidence target "
+                        "(TrainConfig.obj_target; iou = darknet's live-IoU)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="train with the fused Pallas loss kernel "
                         "(use_pallas_loss=True) — soak-test path")
@@ -177,6 +180,7 @@ def main():
             noobj_mode="all",
             box_loss_mode=args.box_loss,
             ignore_threshold=args.ignore_threshold,
+            obj_target=args.obj_target,
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
             log_dir=os.path.join(args.workdir, "logs"),
             map_eval_start_epoch=(args.map_start or args.epochs + 1),
@@ -237,6 +241,7 @@ def main():
         activation=args.activation,
         box_loss=args.box_loss,
         ignore_threshold=args.ignore_threshold,
+        obj_target=args.obj_target,
         mosaic_prob=args.mosaic,
         mixup_prob=args.mixup,
         multiscale=args.multiscale,

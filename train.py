@@ -106,6 +106,9 @@ def parse_args():
                    help="anchor/fpn heads: exempt unassigned slots whose "
                         "decoded prediction overlaps any GT above this IoU "
                         "from the no-object loss (darknet uses 0.6/0.5)")
+    p.add_argument("--obj-target", choices=["one", "iou"],
+                   help="anchor/fpn heads: assigned-slot confidence target "
+                        "(iou = darknet's live-IoU objectness)")
     return p.parse_args()
 
 
@@ -153,7 +156,8 @@ def build_config(args):
                    multiscale_every=args.multiscale_every,
                    grad_accum_steps=args.grad_accum,
                    weight_decay=args.weight_decay,
-                   ignore_threshold=args.ignore_threshold),
+                   ignore_threshold=args.ignore_threshold,
+                   obj_target=args.obj_target),
         mesh=over(cfg.mesh, data_parallel=args.data_parallel),
     )
 
