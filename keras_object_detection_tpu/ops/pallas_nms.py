@@ -163,15 +163,24 @@ def pallas_batched_non_max_suppression(
     return out_boxes, out_valid[..., 0] > 0.5
 
 
+# Largest candidate count the single-block kernel fits in scoped VMEM: the
+# working set is ~6 (N, N) f32 matrices (perm, iou, same-class, suppresses +
+# its transpose, perm2), so N=512 uses ~6 MB of the 16 MB limit while N=735
+# (the 2-scale fpn head's 49*3 + 196*3) measured 23.06 MB and failed to
+# compile. Above the cap the XLA formulation takes over — same outputs.
+PALLAS_NMS_MAX_N = 512
+
+
 def auto_batched_non_max_suppression(boxes, iou_threshold=0.5,
                                      conf_threshold=0.4):
-    """Best NMS for the current backend: the fused Pallas kernel on TPU
-    (measured 476 ms -> ~32 ms per call for batch 64 on v5e through this
-    environment's dispatch relay — the kernel's device time itself is
-    microsecond-scale, so the end-to-end call is RTT-bound), the XLA
-    version elsewhere."""
+    """Best NMS for the current backend and size: the fused Pallas kernel on
+    TPU for candidate sets that fit its VMEM budget (measured 476 ms ->
+    ~32 ms per call for batch 64 on v5e through this environment's dispatch
+    relay — the kernel's device time itself is microsecond-scale, so the
+    end-to-end call is RTT-bound), the XLA version elsewhere (CPU/GPU, or
+    N > PALLAS_NMS_MAX_N, e.g. multi-scale fpn grids)."""
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu:
+    if on_tpu and boxes.shape[1] <= PALLAS_NMS_MAX_N:
         return pallas_batched_non_max_suppression(
             boxes, iou_threshold, conf_threshold)
     from keras_object_detection_tpu.ops.nms import batched_non_max_suppression

@@ -281,6 +281,30 @@ def test_fpn_trainer_and_evaluator(tmp_path):
     assert np.isfinite(out["loss"]) and 0.0 <= out["mAP"] <= 1.0
 
 
+def test_auto_nms_large_candidate_routing():
+    """Multi-scale candidate sets above the Pallas kernel's VMEM cap must
+    route to the XLA NMS with identical semantics (the 2-scale fpn head
+    emits 735 candidates; the single-block kernel measured 23 MB > the
+    16 MB scoped-VMEM limit there)."""
+    from keras_object_detection_tpu.ops.nms import (
+        batched_non_max_suppression)
+    from keras_object_detection_tpu.ops.pallas_nms import (
+        PALLAS_NMS_MAX_N, auto_batched_non_max_suppression)
+
+    assert PALLAS_NMS_MAX_N < 49 * 3 + 196 * 3  # fpn@grid7 must not fit
+    assert PALLAS_NMS_MAX_N >= 49 * 5  # anchor@grid7 B=5 must still fit
+    rng = np.random.RandomState(0)
+    n = 49 * 3 + 196 * 3
+    boxes = np.zeros((2, n, 6), np.float32)
+    boxes[..., 0] = rng.randint(0, 3, (2, n))
+    boxes[..., 1] = rng.uniform(0, 1, (2, n))
+    boxes[..., 2:6] = rng.uniform(0.05, 0.6, (2, n, 4))
+    got_b, got_v = auto_batched_non_max_suppression(jnp.asarray(boxes))
+    want_b, want_v = batched_non_max_suppression(jnp.asarray(boxes))
+    assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert np.allclose(np.asarray(got_b), np.asarray(want_b))
+
+
 def test_inference_model_fpn_predict():
     from keras_object_detection_tpu.eval.evaluator import InferenceModel
 
