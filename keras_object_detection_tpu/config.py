@@ -414,6 +414,33 @@ def test_model_config() -> Config:
     )
 
 
+# The YOLOv3 416-model's 9 anchors (arXiv:1804.02767 §2.3, pixel units of
+# the 416 input), expressed as image ratios — partitioned by area across the
+# 3 scales by core/fpn.partition_anchors.
+YOLOV3_ANCHORS_416 = tuple(
+    (w / 416.0, h / 416.0)
+    for (w, h) in ((10, 13), (16, 30), (33, 23), (30, 61), (62, 45),
+                   (59, 119), (116, 90), (156, 198), (373, 326)))
+
+
+def yolov3_config(train_dir: str = "", val_dir: str = "",
+                  test_dir: str = "", num_classes: int = 20) -> Config:
+    """The paper-faithful YOLOv3 assembly (arXiv:1804.02767; net-new — the
+    reference repo is YOLOv1-only): Darknet-53 + 3-scale FPN head at 416²
+    (grids 13/26/52), the paper's 9 dimension-cluster anchors, LeakyReLU.
+    Refit anchors to your dataset with tools/kmeans_anchors.py (9 priors)."""
+    return Config(
+        grid=GridConfig(grid=13, num_boxes=2, num_classes=num_classes,
+                        anchors=YOLOV3_ANCHORS_416),
+        model=ModelConfig(backbone="darknet53", head="fpn", fpn_scales=3,
+                          image_size=416, activation="leaky_relu"),
+        data=DataConfig(train_dir=train_dir, val_dir=val_dir,
+                        test_dir=test_dir, batch_size=32),
+        train=TrainConfig(optimizer="adam", ignore_threshold=0.5,
+                          obj_target="iou"),
+    )
+
+
 def voc_full_config(train_dir: str = "", val_dir: str = "", test_dir: str = "") -> Config:
     """BASELINE config 2: full 448x448 Darknet-24 on VOC (S=7, B=2, C=20)."""
     return Config(

@@ -281,6 +281,45 @@ def test_fpn_trainer_and_evaluator(tmp_path):
     assert np.isfinite(out["loss"]) and 0.0 <= out["mAP"] <= 1.0
 
 
+def test_yolov3_config_preset():
+    """The paper-faithful YOLOv3 preset: Darknet-53 + 3-scale FPN @416,
+    the paper's 9 anchors — shape-checked abstractly (no FLOPs)."""
+    from keras_object_detection_tpu.config import (YOLOV3_ANCHORS_416,
+                                                   yolov3_config)
+
+    cfg = yolov3_config(num_classes=20)
+    assert len(YOLOV3_ANCHORS_416) == 9
+    assert cfg.grid.grid == 13 and cfg.model.fpn_scales == 3
+    assert cfg.train.ignore_threshold == 0.5  # the v3 paper's value
+    model = build_model(cfg)
+    out = jax.eval_shape(
+        lambda x: model.init_with_output(jax.random.PRNGKey(0), x,
+                                         train=False)[0],
+        jax.ShapeDtypeStruct((1, 416, 416, 3), jnp.float32))
+    assert [o.shape[1] for o in out] == [13, 26, 52]
+    assert all(o.shape[-1] == 3 * (5 + 20) for o in out)
+    # largest anchors (area) live on the coarsest grid — (373,326)/416 first
+    parts = partition_anchors(cfg.grid.anchors, 3)
+    assert parts[0][0] == (373 / 416, 326 / 416)
+
+
+def test_darknet53_table_geometry():
+    from keras_object_detection_tpu.models.darknet import DARKNET53_CONFIG
+
+    convs = [e for e in DARKNET53_CONFIG
+             if not isinstance(e, str) and e[0] != "R"]
+    res = [e for e in DARKNET53_CONFIG
+           if not isinstance(e, str) and e[0] == "R"]
+    # 52 feature convs (the paper's 53rd is its classifier): 6 scalar convs
+    # + residual stages 1+2+8+8+4 repeats x 2 convs each
+    assert len(convs) == 6
+    assert sum(r[2] for r in res) == 23
+    assert len(convs) + 2 * sum(r[2] for r in res) == 52
+    # downsampling via stride-2 convs only, no pools
+    assert not any(isinstance(e, str) for e in DARKNET53_CONFIG)
+    assert sum(1 for e in convs if e[2] == 2) == 5  # stride 32
+
+
 def test_auto_nms_large_candidate_routing():
     """Multi-scale candidate sets above the Pallas kernel's VMEM cap must
     route to the XLA NMS with identical semantics (the 2-scale fpn head
