@@ -28,19 +28,35 @@ def _make_serving_fn(config: Config, params: Any, batch_stats: Any,
     # f32 either way (bf16 is activations-only), and bf16 ops in the exported
     # graph break LiteRT full-int8 legalization (bf16 tfl.pad is not
     # quantizable -> "failed to legalize operation 'tfl.pad'").
-    if config.model.head == "fpn":
-        raise ValueError(
-            "LiteRT/StableHLO export covers the single-grid heads; the fpn "
-            "head emits one grid per scale — serve it with the float "
-            "InferenceModel (eval/evaluator.py)")
     if config.model.compute_dtype != "float32":
         config = dataclasses.replace(
             config,
             model=dataclasses.replace(config.model, compute_dtype="float32"))
     model = build_model(config)
     g = config.grid
-    out_shape = (g.grid, g.grid, g.head_depth(config.model.head))
     variables = {"params": params, "batch_stats": batch_stats}
+
+    if config.model.head == "fpn":
+        # Multi-scale head: one output per scale, coarse -> fine — LiteRT
+        # and jax.export both carry multi-output graphs natively. Decode
+        # (core/fpn.decode_fpn_grids) stays outside the artifact, matching
+        # the single-grid exports, which also emit raw grid predictions.
+        from keras_object_detection_tpu.core.fpn import (
+            fpn_grid_sizes, partition_anchors)
+        parts = partition_anchors(g.anchors, config.model.fpn_scales)
+        depth = len(parts[0]) * (5 + g.num_classes)
+        sizes = fpn_grid_sizes(g.grid, config.model.fpn_scales)
+
+        def serve_fpn(images: jnp.ndarray):
+            """float32 [0,1] images -> tuple of (batch, S_s, S_s,
+            B_s*(5+C)) per-scale grids, coarse -> fine."""
+            ys = model.apply(variables, images, train=False)
+            return tuple(y.reshape((-1, s, s, depth))
+                         for y, s in zip(ys, sizes))
+
+        return serve_fpn
+
+    out_shape = (g.grid, g.grid, g.head_depth(config.model.head))
 
     def serve(images: jnp.ndarray) -> jnp.ndarray:
         """float32 [0,1] images -> (batch, S, S, depth) grid predictions."""

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from keras_object_detection_tpu.models.darknet import (
     ARCHITECTURE_CONFIG,
     DARKNET19_CONFIG,
+    DARKNET53_CONFIG,
     DARKNET_MICRO_CONFIG,
     DARKNET_TINY_CONFIG,
     DarknetBackbone,
@@ -144,11 +145,21 @@ def _darknet19(dtype, activation="leaky_relu", bn_mode="flax"):
                            activation=activation, dtype=dtype, bn_mode=bn_mode)
 
 
+def _darknet53(dtype, activation="leaky_relu", bn_mode="flax"):
+    # YOLOv3's backbone (arXiv:1804.02767 Table 1, residual blocks);
+    # LeakyReLU(0.1) per the paper. Pairs with head="fpn" (which constructs
+    # it tap-enabled itself); registered here so generic consumers (backbone
+    # geometry probes, standalone feature extraction) can build it too.
+    return DarknetBackbone(architecture=DARKNET53_CONFIG,
+                           activation=activation, dtype=dtype, bn_mode=bn_mode)
+
+
 # activation applies to the darknet family (the reference's cnn_block knob,
 # ref model.py:62-63); VGG16/MobileNetV2 keep their canonical activations.
 BACKBONES = {
     "darknet24": _darknet24,
     "darknet19": _darknet19,
+    "darknet53": _darknet53,
     "darknet_tiny": _darknet_tiny,
     "darknet_micro": _darknet_micro,
     "vgg16": lambda dtype, activation="relu", bn_mode="flax":

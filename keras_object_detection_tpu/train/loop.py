@@ -162,6 +162,22 @@ def multiscale_grid(config: Config, size: int) -> int:
     if feat0 <= 0:
         raise ValueError(
             f"backbone emits no spatial features at image_size {canon}")
+    if config.model.head == "fpn":
+        # FPN's coarse grid IS the backbone feature map (SAME-conv trunks,
+        # models/yolo.py FPNHead); the finer grids follow as 2x taps. Sizes
+        # must divide exactly by the pixel stride so every tap stays an
+        # exact 2x of the previous scale (FPNHead raises otherwise).
+        if canon % feat0:
+            raise ValueError(
+                f"image_size {canon} is not an exact multiple of the "
+                f"{config.model.backbone} stride (feat {feat0}) — fpn "
+                "multiscale needs exact-stride geometry")
+        stride_px = canon // feat0
+        if size % stride_px:
+            raise ValueError(
+                f"multiscale size {size} must be a multiple of the backbone "
+                f"pixel stride {stride_px}")
+        return size // stride_px
     if canon % feat0 == 0:
         stride_px = canon // feat0
         if size % stride_px:
@@ -185,11 +201,6 @@ def validate_multiscale(config: Config) -> None:
             "multiscale_sizes requires a resolution-agnostic head: "
             "'conv' or 'gap_dense' (flatten_dense Dense kernels have "
             "resolution-dependent shapes)")
-    if config.model.head == "fpn":
-        raise ValueError(
-            "multiscale_sizes does not support head='fpn' yet: the "
-            "multiscale grid derivation assumes the single-scale conv "
-            "head's stride arithmetic (multiscale_grid)")
     for size in config.train.multiscale_sizes:
         multiscale_grid(config, size)  # raises on stride mismatch
 

@@ -154,12 +154,17 @@ def test_fpn_validations():
         m = build_model(dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone="vgg16")))
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
+    # multiscale now SUPPORTS fpn (the coarse grid tracks the backbone
+    # feature map): stride-aligned sizes validate, misaligned ones raise
     from keras_object_detection_tpu.train.loop import validate_multiscale
     cfg = _fpn_config()
-    with pytest.raises(ValueError, match="fpn"):
+    validate_multiscale(dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       multiscale_sizes=(56, 112))))
+    with pytest.raises(ValueError, match="multiple of the backbone"):
         validate_multiscale(dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
-                                           multiscale_sizes=(56, 112))))
+                                           multiscale_sizes=(56, 60))))
 
 
 def test_v3_loss_semantics():

@@ -138,6 +138,39 @@ def test_multiscale_fit_trains_across_resolutions(tmp_path, data_dir):
     assert sizes_seen == {48, 56}, sizes_seen
 
 
+def test_multiscale_fpn_grid_and_fit(tmp_path, data_dir):
+    """fpn head + multiscale: the coarse grid tracks the backbone feature
+    map exactly (size / pixel stride) and a 3-epoch fit across two
+    resolutions trains one set of fully-conv FPN params at grids
+    (6,12) and (7,14)."""
+    anchors = ((0.8, 0.7), (0.5, 0.6), (0.35, 0.3),
+               (0.2, 0.25), (0.12, 0.1), (0.05, 0.06))
+    base = _cfg(str(tmp_path), sizes=(48, 56), every=1, head="fpn")
+    cfg = dataclasses.replace(
+        base,
+        grid=dataclasses.replace(base.grid, anchors=anchors),
+        model=dataclasses.replace(base.model, fpn_scales=2,
+                                  activation="leaky_relu"))
+    # darknet_micro at 56 -> feat 7 => pixel stride 8
+    assert multiscale_grid(cfg, 48) == 6
+    assert multiscale_grid(cfg, 56) == 7
+    with pytest.raises(ValueError, match="multiple of the backbone"):
+        multiscale_grid(cfg, 52)
+    validate_multiscale(cfg)
+
+    ds = YoloDataset(data_dir, cfg.model.image_size, cfg.data.batch_size,
+                     max_boxes=8, cache_in_memory=True)
+    tr = _trainer(cfg)
+    state = tr.fit(ds, None, state=tr.init_state(), verbose=False)
+    tr.ckpt.close()
+    assert state is not None
+    rows = [json.loads(l) for l in
+            open(os.path.join(cfg.train.log_dir, "train.jsonl"))]
+    assert len(rows) == 3
+    assert all(np.isfinite(r["total"]) for r in rows)
+    assert {r["train_size"] for r in rows} == {48, 56}
+
+
 def test_multiscale_single_size_matches_canonical(tmp_path, data_dir):
     """multiscale_sizes=(image_size,) must reproduce the canonical
     single-scale run exactly (same program, same rng path)."""
