@@ -20,10 +20,13 @@ This module removes the materialization the TPU-native way:
   the explicit ZeroPadding stays exact (zero-point is 0). The final 1 x 1
   detection conv (ref model.py:269) stays f32 for full logit precision.
 
-Scope: the table-driven Darknet backbones + the conv head — the reference's
-only working pipeline (ref yolo_v1.py:605, model.py:218-274). Other
-backbones/heads raise; use the float ``InferenceModel`` or the weight-only
-``QuantizedInferenceModel`` there.
+Scope: the table-driven Darknet backbones + the conv-head families — the
+reference's only working pipeline (ref yolo_v1.py:605, model.py:218-274)
+and the YOLOv2 anchor head, which reuses the identical ConvHead structure
+(models/yolo.py:309-313; only the grid decode differs). Other
+backbones/heads (gap_dense, flatten_dense, passthrough, fpn) raise; use the
+float ``InferenceModel`` or the weight-only ``QuantizedInferenceModel``
+there.
 
 The reference left its int8 recipe commented out and unvalidated
 (ref convert_to_tflite.py:17-30); here it is a first-class measured path —
@@ -117,9 +120,15 @@ def build_int8_layers(config: Config, params: Any, batch_stats: Any,
     -0.018 mAP; the tail layers feed the logits most directly, so they are
     the first to exempt. The final 1x1 detection conv is ALWAYS f32.
     """
-    if config.model.head != "conv":
-        raise ValueError("int8 serving supports head='conv' only "
-                         f"(got {config.model.head!r})")
+    if config.model.head not in ("conv", "anchor"):
+        raise ValueError("int8 serving supports head='conv' and the "
+                         "anchor head (same ConvHead structure, "
+                         "models/yolo.py:309-313); "
+                         f"got {config.model.head!r}")
+    if getattr(config.model, "passthrough", False):
+        raise ValueError("int8 serving does not fold the passthrough reorg "
+                         "head (PassthroughConvHead); serve it float "
+                         "(eval/evaluator.py InferenceModel)")
     plan = conv_plan(config.model.backbone)
     bb_p = params["DarknetBackbone_0"]
     bb_s = batch_stats["DarknetBackbone_0"]
@@ -286,10 +295,19 @@ class Int8InferenceModel:
         self.config = config
         g = config.grid
         e = config.eval
+        # head-aware decode, mirroring eval.evaluator.InferenceModel: the
+        # folded int8 conv stack is identical for the v1 conv head and the
+        # YOLOv2 anchor head (same ConvHead, models/yolo.py:309-313) — only
+        # the grid decode differs
         if config.model.head == "anchor":
-            raise ValueError("int8 serving implements the v1 conv head; "
-                             "the anchor family serves float "
-                             "(eval/evaluator.py InferenceModel)")
+            from keras_object_detection_tpu.core.anchors import (
+                decode_anchor_grid)
+            anchors = tuple(tuple(a) for a in g.anchors)
+            decode = lambda y: decode_anchor_grid(  # noqa: E731
+                y, g.num_classes, anchors, g.grid)
+        else:
+            decode = lambda y: decode_grid(  # noqa: E731
+                y, g.num_classes, g.num_boxes, g.grid)
         plan, layers = build_int8_layers(config, params, batch_stats,
                                          float_tail=float_tail)
         self._layers = jax.device_put(layers)
@@ -299,14 +317,12 @@ class Int8InferenceModel:
             return int8_forward(plan, layers, images_u8, g.grid, activation)
 
         def forward_decode(layers, images_u8):
-            boxes = decode_grid(forward(layers, images_u8), g.num_classes,
-                                g.num_boxes, g.grid)
+            boxes = decode(forward(layers, images_u8))
             if e.tta == "hflip":
                 # same TTA semantics as the float InferenceModel
                 # (eval/evaluator.py): mirror forward in the same program,
                 # un-flip detections, NMS merges the union
-                fb = decode_grid(forward(layers, images_u8[:, :, ::-1, :]),
-                                 g.num_classes, g.num_boxes, g.grid)
+                fb = decode(forward(layers, images_u8[:, :, ::-1, :]))
                 fb = fb.at[..., 2].set(1.0 - fb[..., 2])
                 boxes = jnp.concatenate([boxes, fb], axis=1)
             elif e.tta != "none":

@@ -158,6 +158,44 @@ def test_int8_rejects_unsupported_models():
     params, batch_stats = _trained_like_variables(_micro_cfg())
     with pytest.raises(ValueError, match="head='conv'"):
         build_int8_layers(cfg, params, batch_stats)
+    # the passthrough reorg head is NOT foldable by the conv-plan walk
+    cfg_pt = _micro_cfg(head="anchor", passthrough=True)
+    with pytest.raises(ValueError, match="passthrough"):
+        build_int8_layers(cfg_pt, params, batch_stats)
+
+
+ANCHORS5 = ((0.14, 0.14), (0.19, 0.2), (0.26, 0.26),
+            (0.35, 0.35), (0.41, 0.47))
+
+
+def test_int8_anchor_head_parity_and_predict():
+    """The anchor family serves true-int8 too (same folded ConvHead stack;
+    anchor decode): raw forward tracks float, and the fused predict path
+    emits decoded [cls, conf, cx, cy, w, h] rows."""
+    cfg = _micro_cfg(head="anchor")
+    cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid, anchors=ANCHORS5))
+    params, batch_stats = _trained_like_variables(cfg, seed=7)
+    images = np.random.RandomState(2).randint(0, 255, (2, 56, 56, 3),
+                                              np.uint8)
+    fm = InferenceModel(cfg, params, batch_stats)
+    qm = Int8InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+    yq = np.asarray(qm.predict_raw(images), np.float32)
+    assert yq.shape == yf.shape == (2, 7, 7, len(ANCHORS5) * 8)
+    assert np.corrcoef(yf.ravel(), yq.ravel())[0, 1] > 0.999
+
+    # decoded candidates: anchor layout (S*S*B rows of 6)
+    dec = np.asarray(qm.predict_decoded(images))
+    assert dec.shape == (2, 7 * 7 * len(ANCHORS5), 6)
+    out = qm.predict_single(images[0])
+    assert out.ndim == 2 and out.shape[1] == 6
+
+    # float_tail=all reproduces the float model modulo BN folding — proves
+    # the anchor plan walk is structurally exact
+    qall = Int8InferenceModel(cfg, params, batch_stats, float_tail=999)
+    np.testing.assert_allclose(np.asarray(qall.predict_raw(images)), yf,
+                               atol=1e-3, rtol=1e-4)
 
 
 def test_select_serving_model_modes():

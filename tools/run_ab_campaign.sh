@@ -28,4 +28,8 @@ run_arm anchor   --head anchor --anchors kmeans:5
 # round-3 follow-ups: YOLOv2 passthrough tap, and stacking the two winners
 run_arm passthru --head anchor --anchors kmeans:5 --passthrough
 run_arm anchmos  --head anchor --anchors kmeans:5 --mosaic 0.5
+# stack ALL the measured positives (mosaic +0.072, anchor +0.025,
+# ignore_threshold +0.065-over-anchor) into one best-recipe arm
+run_arm anchmosign --head anchor --anchors kmeans:5 --mosaic 0.5 \
+  --ignore-threshold 0.6
 echo ALL_ARMS_DONE
