@@ -179,14 +179,24 @@ def test_anchor_guards():
         make_train_step(_cfg(use_pallas_loss=True))
     with pytest.raises(ValueError, match="box terms are fixed"):
         make_train_step(_cfg(box_loss_mode="ciou"))
+
+
+def test_anchor_int8_serving_constructs():
+    """Round 3 extended true-int8 serving to the anchor head (same ConvHead
+    fold, export/int8_serving.py): the Int8InferenceModel must BUILD for the
+    anchor family and produce finite decoded boxes in the anchor layout."""
     from keras_object_detection_tpu.export.int8_serving import (
         Int8InferenceModel)
     from keras_object_detection_tpu.train.loop import create_train_state
     cfg = _cfg()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="anchor family serves float"):
-        Int8InferenceModel(cfg, jax.device_get(state.params),
+    m = Int8InferenceModel(cfg, jax.device_get(state.params),
                            jax.device_get(state.batch_stats))
+    imgs = np.random.RandomState(0).randint(
+        0, 255, size=(2, 56, 56, 3), dtype=np.uint8)
+    dec = np.asarray(m.predict_decoded(imgs))
+    assert dec.shape == (2, 7 * 7 * len(ANCHORS), 6)
+    assert np.isfinite(dec).all()
 
 
 def test_anchor_training_end_to_end(tmp_path):
