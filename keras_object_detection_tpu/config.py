@@ -308,7 +308,16 @@ class EvalConfig:
     conf_threshold: float = 0.4  # ref utils.py:80
     iou_threshold: float = 0.5
     map_iou_threshold: float = 0.5
-    max_detections: int = 49  # S*S candidates per image
+    # Confidence-ranked candidate compaction bound (ops/nms.py
+    # top_k_candidates): candidate sets larger than this are compacted to
+    # the top-K by confidence before NMS and before the mAP matcher. Exact
+    # whenever the above-threshold candidates fit in K (the conf>0.4 filter
+    # guarantees this in practice); a NO-OP for every parity surface (the
+    # v1/anchor heads emit <= 245 candidates). What it bounds: the (N, N)
+    # NMS matrices, the mAP matcher's (I, D, G) IoU volume, and the Pallas
+    # NMS kernel's VMEM budget (PALLAS_NMS_MAX_N=512) — required for the
+    # FPN family's 10,647-candidate decode at 416². 0 disables.
+    max_candidates: int = 512
     # Serving-path NMS flavor. "hard" = the reference's greedy suppression
     # (ref utils.py:79-149, bit-parity default). "soft_gaussian"/"soft_linear"
     # = class-aware Soft-NMS (ops/nms.py soft_non_max_suppression): overlaps

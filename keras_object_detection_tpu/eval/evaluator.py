@@ -94,13 +94,15 @@ class InferenceModel:
             boxes = forward_decode(variables, images_u8)
             if e.nms_mode != "hard":  # opt-in Soft-NMS serving
                 from keras_object_detection_tpu.ops.nms import (
-                    batched_soft_non_max_suppression)
+                    batched_soft_non_max_suppression, top_k_candidates)
 
+                if e.max_candidates and boxes.shape[1] > e.max_candidates:
+                    boxes = top_k_candidates(boxes, e.max_candidates)
                 return batched_soft_non_max_suppression(
                     boxes, e.iou_threshold, e.conf_threshold,
                     e.soft_nms_sigma, e.nms_mode.removeprefix("soft_"))
             return batched_non_max_suppression(
-                boxes, e.iou_threshold, e.conf_threshold)
+                boxes, e.iou_threshold, e.conf_threshold, e.max_candidates)
 
         self._forward = jax.jit(forward)
         self._forward_decode = jax.jit(forward_decode)
@@ -140,15 +142,21 @@ class InferenceModel:
             decode = jax.jit(self._decode)  # head-aware (v1 or anchor)
             if e.nms_mode != "hard":  # keep staged/fused variants comparable
                 from keras_object_detection_tpu.ops.nms import (
-                    batched_soft_non_max_suppression as _soft)
+                    batched_soft_non_max_suppression as _soft,
+                    top_k_candidates as _topk)
 
-                nms = jax.jit(
-                    lambda b: _soft(b, e.iou_threshold, e.conf_threshold,
-                                    e.soft_nms_sigma,
-                                    e.nms_mode.removeprefix("soft_")))
+                def _soft_nms(b):
+                    if e.max_candidates and b.shape[1] > e.max_candidates:
+                        b = _topk(b, e.max_candidates)
+                    return _soft(b, e.iou_threshold, e.conf_threshold,
+                                 e.soft_nms_sigma,
+                                 e.nms_mode.removeprefix("soft_"))
+
+                nms = jax.jit(_soft_nms)
             else:
                 nms = jax.jit(
-                    lambda b: _nms(b, e.iou_threshold, e.conf_threshold))
+                    lambda b: _nms(b, e.iou_threshold, e.conf_threshold,
+                                   e.max_candidates))
 
             if e.tta == "hflip":
                 # keep staged/fused comparable: the staged variant pays the
@@ -267,7 +275,8 @@ class Evaluator:
             anchors=(config.grid.anchors
                      if config.model.head in ("anchor", "fpn") else ()),
             fpn_scales=(config.model.fpn_scales
-                        if config.model.head == "fpn" else 0))
+                        if config.model.head == "fpn" else 0),
+            max_candidates=config.eval.max_candidates)
 
     def evaluate(self, state: TrainState, ds: YoloDataset,
                  with_map: bool = True,

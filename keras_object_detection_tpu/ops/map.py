@@ -230,7 +230,8 @@ class MeanAveragePrecision:
     def __init__(self, num_classes: int, num_boxes: int = 2, grid: int = 7,
                  iou_threshold: float = 0.5, conf_threshold: float = 0.4,
                  map_iou_threshold: float = 0.5, nms_on_targets: bool = True,
-                 anchors: tuple = (), fpn_scales: int = 0):
+                 anchors: tuple = (), fpn_scales: int = 0,
+                 max_candidates: int = 512):
         self._num_classes = num_classes
         self._num_boxes = num_boxes
         self._grid = grid
@@ -251,6 +252,14 @@ class MeanAveragePrecision:
         # ``grid`` the coarsest) and decode concatenates the scales into one
         # candidate set — everything downstream is candidate-count-agnostic.
         self._fpn_scales = fpn_scales
+        # Candidate-compaction bound (EvalConfig.max_candidates, ops/nms.py
+        # top_k_candidates): keeps the accumulated per-image box sets — and
+        # with them the matcher's (I, D, G) IoU volume — at O(K) instead of
+        # O(grid cells x anchors). A no-op for the reference-parity heads
+        # (<= 245 candidates); REQUIRED for the FPN family at paper scale
+        # (10,647 candidates at 416² would need ~90 TB for a 200-image val
+        # set uncompacted). Exact whenever above-threshold survivors <= K.
+        self._max_candidates = max_candidates
         self._update = jax.jit(self._make_update())
         self.reset_states()
 
@@ -279,11 +288,18 @@ class MeanAveragePrecision:
                                  self._grid)
             if self._nms_on_targets:
                 tboxes, tvalid = batched_non_max_suppression(
-                    tb, self._iou_threshold, self._conf_threshold)
+                    tb, self._iou_threshold, self._conf_threshold,
+                    self._max_candidates)
             else:
+                if (self._max_candidates
+                        and tb.shape[1] > self._max_candidates):
+                    from keras_object_detection_tpu.ops.nms import (
+                        top_k_candidates)
+                    tb = top_k_candidates(tb, self._max_candidates)
                 tboxes, tvalid = tb, tb[..., 1] > self._conf_threshold
             pboxes, pvalid = batched_non_max_suppression(
-                pb, self._iou_threshold, self._conf_threshold)
+                pb, self._iou_threshold, self._conf_threshold,
+                self._max_candidates)
             if image_valid is not None:
                 # Drop padded images of a partial final batch entirely: no
                 # ground truths AND no (spurious) detections from zero pixels.

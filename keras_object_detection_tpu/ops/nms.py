@@ -151,6 +151,33 @@ def batched_soft_non_max_suppression(
     )(boxes)
 
 
+def top_k_candidates(boxes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Confidence-ranked candidate compaction: ``(B, N, 6) -> (B, K, 6)``.
+
+    Keeps the K highest-confidence candidates per image (``lax.top_k``
+    breaks ties toward the lower index — the same order a stable
+    confidence-descending sort of the full set produces, so downstream NMS
+    sees the boxes in the order the uncompacted path would have visited
+    them first).
+
+    EXACT with respect to conf-thresholded NMS/matching whenever the number
+    of above-threshold candidates is <= K: every dropped candidate ranks
+    below K by confidence and would have been filtered or never reached by
+    the greedy scan before any kept one. This is what makes the multi-scale
+    FPN family (core/fpn.py: 13²+26²+52² cells x 3 anchors = 10,647
+    candidates at 416²) viable at paper scale — it bounds the (N, N) NMS
+    matrices AND the mAP matcher's (I, D, G) IoU volume, and routes the
+    compacted set back through the single-block Pallas NMS kernel
+    (ops/pallas_nms.py PALLAS_NMS_MAX_N). The reference never faces this
+    (single 7x7 grid, 49 candidates, ref utils.py:79-149); parity surfaces
+    (N <= K) are bit-identical because compaction is a no-op there.
+    """
+    if boxes.shape[-2] <= k:
+        return boxes
+    _, idx = jax.lax.top_k(boxes[..., 1], k)  # (B, K) descending conf
+    return jnp.take_along_axis(boxes, idx[..., None], axis=-2)
+
+
 def batched_non_max_suppression(
     boxes: jnp.ndarray,
     iou_threshold: float = 0.5,

@@ -172,13 +172,24 @@ PALLAS_NMS_MAX_N = 512
 
 
 def auto_batched_non_max_suppression(boxes, iou_threshold=0.5,
-                                     conf_threshold=0.4):
+                                     conf_threshold=0.4,
+                                     max_candidates=0):
     """Best NMS for the current backend and size: the fused Pallas kernel on
     TPU for candidate sets that fit its VMEM budget (measured 476 ms ->
     ~32 ms per call for batch 64 on v5e through this environment's dispatch
     relay — the kernel's device time itself is microsecond-scale, so the
     end-to-end call is RTT-bound), the XLA version elsewhere (CPU/GPU, or
-    N > PALLAS_NMS_MAX_N, e.g. multi-scale fpn grids)."""
+    N > PALLAS_NMS_MAX_N).
+
+    ``max_candidates > 0`` first compacts oversized candidate sets to the
+    top-K by confidence (ops/nms.py top_k_candidates — exact whenever the
+    above-threshold survivors fit in K). This is how the multi-scale FPN
+    family's 10,647-candidate decode at 416² stays O(K²) instead of O(N²)
+    AND re-enters the Pallas kernel's VMEM budget."""
+    if max_candidates and boxes.shape[1] > max_candidates:
+        from keras_object_detection_tpu.ops.nms import top_k_candidates
+
+        boxes = top_k_candidates(boxes, int(max_candidates))
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and boxes.shape[1] <= PALLAS_NMS_MAX_N:
         return pallas_batched_non_max_suppression(

@@ -622,7 +622,8 @@ class Trainer:
             anchors=(config.grid.anchors
                      if config.model.head in ("anchor", "fpn") else ()),
             fpn_scales=(config.model.fpn_scales
-                        if config.model.head == "fpn" else 0))
+                        if config.model.head == "fpn" else 0),
+            max_candidates=config.eval.max_candidates)
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(
