@@ -152,16 +152,15 @@ def test_int8_leaky_relu_variant():
 
 
 def test_int8_rejects_unsupported_models():
-    cfg = tiny_cpu_config()
-    cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, head="gap_dense"))
+    # only the DENSE heads are out of int8 scope now (round 4 extended the
+    # fold to passthrough + fpn); they serve float or weight-only int8
     params, batch_stats = _trained_like_variables(_micro_cfg())
-    with pytest.raises(ValueError, match="head='conv'"):
-        build_int8_layers(cfg, params, batch_stats)
-    # the passthrough reorg head is NOT foldable by the conv-plan walk
-    cfg_pt = _micro_cfg(head="anchor", passthrough=True)
-    with pytest.raises(ValueError, match="passthrough"):
-        build_int8_layers(cfg_pt, params, batch_stats)
+    for head in ("gap_dense", "flatten_dense"):
+        cfg = tiny_cpu_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, head=head))
+        with pytest.raises(ValueError, match="head='conv'"):
+            build_int8_layers(cfg, params, batch_stats)
 
 
 ANCHORS5 = ((0.14, 0.14), (0.19, 0.2), (0.26, 0.26),
@@ -258,3 +257,166 @@ def test_int8_float_tail_mixed_precision():
         else:
             assert np.corrcoef(yf.ravel(), yq.ravel())[0, 1] > 0.995
     assert qbytes[0] < qbytes[1] < qbytes[2]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extensions: passthrough + fpn heads, darknet53 residual folding,
+# static activation calibration (VERDICT r3 asks #4 and #5).
+# ---------------------------------------------------------------------------
+
+
+def test_int8_passthrough_head_parity_and_predict():
+    """The YOLOv2 passthrough family serves true-int8: the reorg
+    (space_to_depth) is a pure layout transform, so the folded stack must
+    track float closely; float_tail=all is BN-fold-exact — proving the
+    tap/reorg/concat plan walk is structurally right."""
+    cfg = _micro_cfg(head="anchor", passthrough=True)
+    cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid, anchors=ANCHORS5))
+    params, batch_stats = _trained_like_variables(cfg, seed=11)
+    images = np.random.RandomState(3).randint(0, 255, (2, 56, 56, 3),
+                                              np.uint8)
+    fm = InferenceModel(cfg, params, batch_stats)
+    qm = Int8InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+    yq = np.asarray(qm.predict_raw(images), np.float32)
+    assert yq.shape == yf.shape == (2, 7, 7, len(ANCHORS5) * 8)
+    assert np.corrcoef(yf.ravel(), yq.ravel())[0, 1] > 0.99
+
+    qall = Int8InferenceModel(cfg, params, batch_stats, float_tail=999)
+    np.testing.assert_allclose(np.asarray(qall.predict_raw(images)), yf,
+                               atol=1e-3, rtol=1e-4)
+
+    out = qm.predict_single(images[0])
+    assert out.ndim == 2 and out.shape[1] == 6
+
+
+ANCHORS6 = ((0.08, 0.1), (0.12, 0.18), (0.2, 0.15),
+            (0.3, 0.4), (0.5, 0.45), (0.7, 0.7))
+
+
+def test_int8_fpn_head_parity_and_predict():
+    """The YOLOv3 FPN family serves true-int8: trunks/routes/laterals fold
+    like any ConvBlock; upsample+concat run on the f32 view. Per-scale raw
+    grids track float, float_tail=all is BN-fold-exact, and the fused
+    predict path emits the concatenated multi-scale candidate layout."""
+    cfg = _micro_cfg(head="fpn", fpn_scales=2)
+    cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid, anchors=ANCHORS6))
+    params, batch_stats = _trained_like_variables(cfg, seed=13)
+    images = np.random.RandomState(5).randint(0, 255, (2, 56, 56, 3),
+                                              np.uint8)
+    fm = InferenceModel(cfg, params, batch_stats)
+    qm = Int8InferenceModel(cfg, params, batch_stats)
+    yf = fm.predict_raw(images)  # tuple of per-scale grids
+    yq = qm.predict_raw(images)
+    assert isinstance(yq, tuple) and len(yq) == 2
+    for f, q in zip(yf, yq):
+        f, q = np.asarray(f, np.float32), np.asarray(q, np.float32)
+        assert f.shape == q.shape
+        assert np.corrcoef(f.ravel(), q.ravel())[0, 1] > 0.99
+
+    qall = Int8InferenceModel(cfg, params, batch_stats, float_tail=999)
+    for f, q in zip(yf, qall.predict_raw(images)):
+        np.testing.assert_allclose(np.asarray(q), np.asarray(f, np.float32),
+                                   atol=1e-3, rtol=1e-4)
+
+    # fused decode+NMS surface: candidates = 3 anchors/scale * (7^2 + 14^2)
+    dec = np.asarray(qm.predict_decoded(images))
+    assert dec.shape == (2, 3 * (7 * 7 + 14 * 14), 6)
+    assert np.isfinite(dec).all()
+    out = qm.predict_single(images[0])
+    assert out.ndim == 2 and out.shape[1] == 6
+
+
+RES_MICRO = (
+    (3, 16, 1, 1),
+    (3, 32, 2, 1),
+    ("R", 32, 2),
+    (3, 64, 2, 1),
+    ("R", 64, 1),
+    (3, 64, 2, 1),
+)
+
+
+@pytest.fixture
+def res_micro_backbone():
+    """Register a tiny darknet53-grammar backbone (residual stages) in both
+    registries, so residual folding is testable at CPU scale."""
+    from keras_object_detection_tpu.export import int8_serving
+    from keras_object_detection_tpu.models import backbones, darknet
+    from keras_object_detection_tpu.models.darknet import DarknetBackbone
+
+    darknet.ARCHITECTURES["res_micro"] = RES_MICRO
+    backbones.BACKBONES["res_micro"] = (
+        lambda dtype, activation="leaky_relu", bn_mode="flax":
+        DarknetBackbone(architecture=RES_MICRO, activation=activation,
+                        dtype=dtype, bn_mode=bn_mode))
+    yield "res_micro"
+    del darknet.ARCHITECTURES["res_micro"]
+    del backbones.BACKBONES["res_micro"]
+
+
+def test_int8_residual_backbone_fold_exact(res_micro_backbone):
+    """Darknet-53's residual grammar folds correctly: conv_plan emits the
+    res_begin/conv/conv/res_add structure in flax walk order, float_tail=all
+    reproduces the float model (so the fold walk handles identity skips),
+    and full int8 stays strongly correlated."""
+    plan = conv_plan(res_micro_backbone)
+    kinds = [s[0] for s in plan]
+    assert kinds.count("conv") == 4 + 2 * 3  # scalar convs + residual pairs
+    assert kinds.count("res_begin") == kinds.count("res_add") == 3
+
+    cfg = tiny_cpu_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backbone=res_micro_backbone,
+                                       image_size=56,
+                                       activation="leaky_relu"))
+    params, batch_stats = _trained_like_variables(cfg, seed=17)
+    images = np.random.RandomState(7).randint(0, 255, (2, 56, 56, 3),
+                                              np.uint8)
+    fm = InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+
+    qall = Int8InferenceModel(cfg, params, batch_stats, float_tail=999)
+    np.testing.assert_allclose(np.asarray(qall.predict_raw(images)), yf,
+                               atol=1e-3, rtol=1e-4)
+
+    qm = Int8InferenceModel(cfg, params, batch_stats)
+    yq = np.asarray(qm.predict_raw(images), np.float32)
+    assert np.corrcoef(yf.ravel(), yq.ravel())[0, 1] > 0.99
+
+
+def test_int8_static_activation_calibration():
+    """Static calibrated activation scales (the reference's commented
+    representative_dataset recipe, ref convert_to_tflite.py:9-13, made
+    real): one positive scale per quantized conv, the calibrated model
+    tracks float at least as well as shape checks demand, and the scale
+    count is enforced."""
+    from keras_object_detection_tpu.export.int8_serving import (
+        apply_activation_scales, calibrate_activation_scales)
+
+    cfg = _micro_cfg()
+    params, batch_stats = _trained_like_variables(cfg, seed=19)
+    rng = np.random.RandomState(9)
+    calib_images = rng.randint(0, 255, (4, 56, 56, 3), np.uint8)
+    images = rng.randint(0, 255, (2, 56, 56, 3), np.uint8)
+
+    scales = calibrate_activation_scales(cfg, params, batch_stats,
+                                         calib_images)
+    plan, layers = build_int8_layers(cfg, params, batch_stats)
+    n_q = sum(1 for l in layers if "w_q" in l)
+    assert len(scales) == n_q and all(s > 0 for s in scales)
+
+    with pytest.raises(ValueError, match="unused activation scales"):
+        apply_activation_scales(layers, list(scales) + [1.0])
+
+    fm = InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+    qs = Int8InferenceModel(cfg, params, batch_stats,
+                            calib_images=calib_images)
+    ys = np.asarray(qs.predict_raw(images), np.float32)
+    assert ys.shape == yf.shape
+    assert np.corrcoef(yf.ravel(), ys.ravel())[0, 1] > 0.99
+    # static scales are baked into the layer pytree (jit arguments)
+    assert any("a_scale" in l for l in qs._layers)

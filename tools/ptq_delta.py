@@ -39,6 +39,13 @@ def main():
     p.add_argument("--int8-float-tail", type=int, default=0,
                    help="keep the LAST N folded convs in f32 (mixed-"
                         "precision sensitivity knob for --int8-serving)")
+    p.add_argument("--calibrate", type=int, default=0,
+                   help="for --int8-serving: ALSO evaluate with static "
+                        "activation scales MSE-calibrated on this many "
+                        "validation images (export/int8_serving.py "
+                        "calibrate_activation_scales — the reference's "
+                        "commented representative_dataset recipe, ref "
+                        "convert_to_tflite.py:9-13, made measurable)")
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -95,25 +102,30 @@ def main():
         from keras_object_detection_tpu.export.int8_serving import (
             Int8InferenceModel)
 
-        im = Int8InferenceModel(cfg, jax.device_get(state.params),
-                                jax.device_get(state.batch_stats),
-                                float_tail=args.int8_float_tail)
-        metric = MeanAveragePrecision(
-            cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
-            iou_threshold=cfg.eval.iou_threshold,
-            conf_threshold=cfg.eval.conf_threshold,
-            map_iou_threshold=cfg.eval.map_iou_threshold)
-        for bi, (images, boxes, valid) in enumerate(ds.epoch()):
-            real = min(len(images), ds.num_examples - bi * ds.batch_size)
-            images, boxes, valid = images[:real], boxes[:real], valid[:real]
-            y_true = jax.vmap(
-                lambda b, v: encode_grid(b, v, cfg.grid.num_classes,
-                                         cfg.grid.num_boxes, cfg.grid.grid)
-            )(jnp.asarray(boxes), jnp.asarray(valid))
-            metric.update_state(np.asarray(y_true),
-                                np.asarray(im.predict_raw(images)))
-        serving_map = metric.result()
-        fp = im.memory_footprint()
+        def eval_int8(calib_images=None):
+            im = Int8InferenceModel(cfg, jax.device_get(state.params),
+                                    jax.device_get(state.batch_stats),
+                                    float_tail=args.int8_float_tail,
+                                    calib_images=calib_images)
+            metric = MeanAveragePrecision(
+                cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
+                iou_threshold=cfg.eval.iou_threshold,
+                conf_threshold=cfg.eval.conf_threshold,
+                map_iou_threshold=cfg.eval.map_iou_threshold)
+            for bi, (images, boxes, valid) in enumerate(ds.epoch()):
+                real = min(len(images), ds.num_examples - bi * ds.batch_size)
+                images, boxes, valid = (images[:real], boxes[:real],
+                                        valid[:real])
+                y_true = jax.vmap(
+                    lambda b, v: encode_grid(b, v, cfg.grid.num_classes,
+                                             cfg.grid.num_boxes,
+                                             cfg.grid.grid)
+                )(jnp.asarray(boxes), jnp.asarray(valid))
+                metric.update_state(np.asarray(y_true),
+                                    np.asarray(im.predict_raw(images)))
+            return metric.result(), im.memory_footprint()
+
+        serving_map, fp = eval_int8()
         print(f"int8 serving: mAP {serving_map:.4f} "
               f"(weights {fp['quantized_bytes']/1e6:.1f} MB vs "
               f"{fp['float_bytes']/1e6:.1f} MB f32)")
@@ -123,6 +135,21 @@ def main():
             "int8_serving_weight_mb": fp["quantized_bytes"] / 1e6,
             "int8_serving_float_tail": args.int8_float_tail,
         }
+        if args.calibrate:
+            calib = []
+            for images, _, _ in ds.epoch():
+                calib.extend(images)
+                if len(calib) >= args.calibrate:
+                    break
+            calib = np.stack(calib[:args.calibrate])
+            cal_map, _ = eval_int8(calib_images=calib)
+            print(f"int8 serving (static calib on {len(calib)}): "
+                  f"mAP {cal_map:.4f}")
+            int8_serving_results.update(
+                int8_calibrated_mAP=float(cal_map),
+                int8_calibrated_delta=float(cal_map - float_eval["mAP"]),
+                int8_calibration_images=int(len(calib)),
+            )
 
     results = {
         "float_mAP": float(float_eval["mAP"]),

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--grid", type=int, default=7,
+                   help="GridConfig.grid S — must equal the backbone's "
+                        "coarsest feature size at --image-size (e.g. 13 "
+                        "for darknet53@416, 7 for darknet24@448)")
     p.add_argument("--backbone", default="darknet_tiny")
     p.add_argument("--head", default="conv",
                    choices=("conv", "anchor", "fpn"),
@@ -154,7 +158,8 @@ def main():
                             for a in args.anchors.split(";"))
 
     cfg = Config(
-        grid=GridConfig(num_classes=args.num_classes, anchors=anchors),
+        grid=GridConfig(grid=args.grid, num_classes=args.num_classes,
+                        anchors=anchors),
         model=ModelConfig(backbone=args.backbone, head=args.head,
                           image_size=args.image_size,
                           activation=args.activation,
