@@ -325,6 +325,11 @@ def _f32_conv(x, layer, stride: int, pad):
         dimension_numbers=_DN) + layer["bias"]
 
 
+def _mk_act(name: str):
+    return ((lambda v: jax.nn.leaky_relu(v, 0.1))
+            if name == "leaky_relu" else jax.nn.relu)
+
+
 class _XState:
     """Lazily-quantized activation: at most one of (x f32, xq int8) is
     authoritative; ``xq`` goes stale after any conv and is re-quantized only
@@ -375,10 +380,6 @@ def int8_forward(plan: Sequence[Tuple], layers, images_u8: jnp.ndarray,
     FPNHead propagates the model activation (models/yolo.py:118-125), so
     the fpn caller passes it through.
     """
-    def _mk_act(name):
-        return ((lambda v: jax.nn.leaky_relu(v, 0.1))
-                if name == "leaky_relu" else jax.nn.relu)
-
     act = _mk_act(activation)           # backbone ("conv") steps
     head_act = _mk_act(head_activation)  # head steps
     st = _XState()
@@ -555,6 +556,126 @@ def apply_activation_scales(layers, scales: Sequence[float]):
     return out
 
 
+def bias_corrected_layers(config: Config, params: Any, batch_stats: Any,
+                          images_u8, float_tail: int = 0,
+                          act_scales: Optional[Sequence[float]] = None):
+    """(plan, layers) with per-channel BIAS CORRECTION — the second offline
+    PTQ quality lever after scale calibration (no fine-tuning needed).
+
+    Quantization error has a non-zero per-channel mean (rounding interacts
+    with the activation distribution), which shifts every downstream BN-less
+    folded bias. The fix is classical post-training bias correction: walk
+    the float and the int8 networks IN LOCKSTEP on a representative batch
+    and, at each quantized conv, fold the mean pre-activation error
+    ``E[y_float - y_int8]`` (a (cout,) vector) into the conv's bias. Later
+    layers are corrected against the already-corrected earlier layers, so
+    errors do not compound.
+
+    ``act_scales``: optional static calibrated scales
+    (``calibrate_activation_scales``) applied to the quantized branch first,
+    so the correction targets exactly the configuration that will serve.
+
+    Runs eagerly; intended for offline model preparation.
+    """
+    import dataclasses as _dc  # noqa: F401  (kept light; no config edits)
+
+    plan, fl = build_int8_layers(config, params, batch_stats,
+                                 float_tail=10 ** 9)
+    _, ql = build_int8_layers(config, params, batch_stats,
+                              float_tail=float_tail)
+    if act_scales is not None:
+        ql = apply_activation_scales(ql, act_scales)
+    ql = [dict(l) for l in ql]
+    g = config.grid
+    activation = getattr(config.model, "activation", "relu")
+    act = _mk_act(activation)
+    head_act = _mk_act(activation if config.model.head == "fpn" else "relu")
+
+    images = jnp.asarray(images_u8)
+    xf = images.astype(jnp.float32) / 255.0
+    if "w_q" in ql[0]:
+        stq = _XState(
+            xq=jnp.round(images.astype(jnp.float32) * (127.0 / 255.0)
+                         ).astype(jnp.int8),
+            scale=jnp.float32(1.0 / 127.0))
+    else:
+        stq = _XState(x=xf)
+    li = 0
+    taps_f: Dict[int, jnp.ndarray] = {}
+    taps_q: Dict[int, jnp.ndarray] = {}
+    stack_f: List[jnp.ndarray] = []
+    stack_q: List[jnp.ndarray] = []
+
+    def conv_pair(xf, stq, stride, pad, a):
+        nonlocal li
+        f, q = fl[li], ql[li]
+        yf = _f32_conv(xf, f, stride, pad)
+        if "w_q" in q:
+            xq, xs = stq.quantized(q)
+            yq = _int8_conv(xq, xs, q, stride, pad)
+            delta = jnp.mean(yf - yq, axis=(0, 1, 2))
+            ql[li] = dict(q, bias=q["bias"] + delta)
+            yq = yq + delta
+        else:
+            yq = _f32_conv(stq.f32(), q, stride, pad)
+        li += 1
+        return a(yf), _XState(x=a(yq))
+
+    for step in plan:
+        kind = step[0]
+        if kind == "conv":
+            xf, stq = conv_pair(xf, stq, step[2], step[3], act)
+        elif kind == "pool":
+            xf = lax.reduce_window(xf, -jnp.inf, lax.max, (1, 2, 2, 1),
+                                   (1, 2, 2, 1), "VALID")
+            stq = _XState(x=lax.reduce_window(
+                stq.f32(), -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID"))
+        elif kind == "res_begin":
+            stack_f.append(xf)
+            stack_q.append(stq.f32())
+        elif kind == "res_add":
+            xf = stack_f.pop() + xf
+            stq = _XState(x=stack_q.pop() + stq.f32())
+        elif kind == "tap":
+            taps_f[step[1]] = xf
+            taps_q[step[1]] = stq.f32()
+        elif kind == "head_conv":
+            xf, stq = conv_pair(xf, stq, max(xf.shape[1] // g.grid, 1),
+                                "SAME", head_act)
+        elif kind == "conv_same":
+            xf, stq = conv_pair(xf, stq, 1, "SAME", head_act)
+        elif kind == "tap_conv":
+            tf_, tq = conv_pair(taps_f[0], _XState(x=taps_q[0]), 1, "SAME",
+                                head_act)
+            taps_f[0], taps_q[0] = tf_, tq.f32()
+        elif kind == "reorg_concat":
+            from keras_object_detection_tpu.models.layers import (
+                space_to_depth)
+            tf_, tq = taps_f[0], taps_q[0]
+            block = tf_.shape[1] // xf.shape[1]
+            if block > 1:
+                tf_, tq = space_to_depth(tf_, block), space_to_depth(tq, block)
+            xf = jnp.concatenate([xf, tf_], axis=-1)
+            stq = _XState(x=jnp.concatenate([stq.f32(), tq], axis=-1))
+        elif kind in ("emit", "pred_emit"):
+            if kind == "pred_emit":
+                # correct the prediction-branch ConvBlock; the f32 final
+                # conv needs no correction and its output is unused here
+                conv_pair(xf, _XState(x=stq.x, xq=stq.xq, scale=stq.scale),
+                          1, "SAME", head_act)
+        elif kind == "route_up_concat":
+            xf2, stq2 = conv_pair(xf, stq, 1, "SAME", head_act)
+            xf2 = jnp.repeat(jnp.repeat(xf2, 2, axis=1), 2, axis=2)
+            q2 = jnp.repeat(jnp.repeat(stq2.f32(), 2, axis=1), 2, axis=2)
+            xf = jnp.concatenate([xf2, taps_f[step[1]]], axis=-1)
+            stq = _XState(
+                x=jnp.concatenate([q2, taps_q[step[1]]], axis=-1))
+        else:
+            raise ValueError(f"unknown plan step {step!r}")
+    return plan, ql
+
+
 class Int8InferenceModel:
     """Drop-in ``InferenceModel`` twin serving from folded int8 weights.
 
@@ -565,11 +686,16 @@ class Int8InferenceModel:
     ``calib_images``: optional (N, H, W, 3) u8 representative batch —
     activations quantize with static MSE-calibrated per-tensor scales
     instead of dynamic per-image absmax (see
-    ``calibrate_activation_scales``)."""
+    ``calibrate_activation_scales``). ``act_quant`` overrides: "static"
+    (requires calib_images) | "dynamic" | "auto" (static iff calib_images).
+    ``bias_correct``: additionally fold the mean per-channel quantization
+    error into each conv bias (``bias_corrected_layers``; requires
+    calib_images)."""
 
     def __init__(self, config: Config, params: Any, batch_stats: Any,
                  float_tail: int = 0,
-                 calib_images: Optional[np.ndarray] = None):
+                 calib_images: Optional[np.ndarray] = None,
+                 bias_correct: bool = False, act_quant: str = "auto"):
         self.config = config
         g = config.grid
         e = config.eval
@@ -591,13 +717,26 @@ class Int8InferenceModel:
         else:
             decode = lambda y: decode_grid(  # noqa: E731
                 y, g.num_classes, g.num_boxes, g.grid)
-        plan, layers = build_int8_layers(config, params, batch_stats,
-                                         float_tail=float_tail)
-        if calib_images is not None:
-            layers = apply_activation_scales(
-                layers, calibrate_activation_scales(
-                    config, params, batch_stats, calib_images,
-                    float_tail=float_tail))
+        if act_quant == "auto":
+            act_quant = "static" if calib_images is not None else "dynamic"
+        if act_quant not in ("static", "dynamic"):
+            raise ValueError(f"act_quant {act_quant!r} not in "
+                             "static|dynamic|auto")
+        if (act_quant == "static" or bias_correct) and calib_images is None:
+            raise ValueError("static act_quant / bias_correct need "
+                             "calib_images")
+        scales = (calibrate_activation_scales(
+            config, params, batch_stats, calib_images,
+            float_tail=float_tail) if act_quant == "static" else None)
+        if bias_correct:
+            plan, layers = bias_corrected_layers(
+                config, params, batch_stats, calib_images,
+                float_tail=float_tail, act_scales=scales)
+        else:
+            plan, layers = build_int8_layers(config, params, batch_stats,
+                                             float_tail=float_tail)
+            if scales is not None:
+                layers = apply_activation_scales(layers, scales)
         self._layers = jax.device_put(layers)
         activation = getattr(config.model, "activation", "relu")
         # ConvHead/PassthroughConvHead hard-code ReLU (models/yolo.py:43-44);

@@ -420,3 +420,44 @@ def test_int8_static_activation_calibration():
     assert np.corrcoef(yf.ravel(), ys.ravel())[0, 1] > 0.99
     # static scales are baked into the layer pytree (jit arguments)
     assert any("a_scale" in l for l in qs._layers)
+
+
+def test_int8_bias_correction():
+    """Per-channel bias correction (classical PTQ): corrected biases differ
+    ONLY on quantized convs, the corrected model's output error vs float
+    does not regress, and the constructor guards compose correctly."""
+    from keras_object_detection_tpu.export.int8_serving import (
+        bias_corrected_layers)
+
+    cfg = _micro_cfg()
+    params, batch_stats = _trained_like_variables(cfg, seed=23)
+    rng = np.random.RandomState(11)
+    calib = rng.randint(0, 255, (4, 56, 56, 3), np.uint8)
+    images = rng.randint(0, 255, (2, 56, 56, 3), np.uint8)
+
+    plan, base = build_int8_layers(cfg, params, batch_stats)
+    plan2, corr = bias_corrected_layers(cfg, params, batch_stats, calib)
+    assert plan == plan2 and len(base) == len(corr)
+    for b, c in zip(base, corr):
+        if "w_q" in b:
+            assert not np.allclose(np.asarray(b["bias"]),
+                                   np.asarray(c["bias"]))
+        elif "bias" in b:
+            np.testing.assert_array_equal(np.asarray(b["bias"]),
+                                          np.asarray(c["bias"]))
+
+    fm = InferenceModel(cfg, params, batch_stats)
+    yf = np.asarray(fm.predict_raw(images), np.float32)
+    q0 = Int8InferenceModel(cfg, params, batch_stats)
+    qc = Int8InferenceModel(cfg, params, batch_stats, calib_images=calib,
+                            bias_correct=True, act_quant="dynamic")
+    e0 = float(np.mean((np.asarray(q0.predict_raw(images)) - yf) ** 2))
+    ec = float(np.mean((np.asarray(qc.predict_raw(images)) - yf) ** 2))
+    # correction targets the mean error; allow slack for per-sample noise
+    assert ec < 1.5 * e0, (e0, ec)
+    assert np.isfinite(np.asarray(qc.predict_decoded(images))).all()
+
+    with pytest.raises(ValueError, match="calib_images"):
+        Int8InferenceModel(cfg, params, batch_stats, bias_correct=True)
+    with pytest.raises(ValueError, match="act_quant"):
+        Int8InferenceModel(cfg, params, batch_stats, act_quant="bogus")

@@ -102,11 +102,11 @@ def main():
         from keras_object_detection_tpu.export.int8_serving import (
             Int8InferenceModel)
 
-        def eval_int8(calib_images=None):
+        def eval_int8(calib_images=None, **int8_kw):
             im = Int8InferenceModel(cfg, jax.device_get(state.params),
                                     jax.device_get(state.batch_stats),
                                     float_tail=args.int8_float_tail,
-                                    calib_images=calib_images)
+                                    calib_images=calib_images, **int8_kw)
             metric = MeanAveragePrecision(
                 cfg.grid.num_classes, cfg.grid.num_boxes, cfg.grid.grid,
                 iou_threshold=cfg.eval.iou_threshold,
@@ -145,9 +145,21 @@ def main():
             cal_map, _ = eval_int8(calib_images=calib)
             print(f"int8 serving (static calib on {len(calib)}): "
                   f"mAP {cal_map:.4f}")
+            bc_dyn_map, _ = eval_int8(calib_images=calib, bias_correct=True,
+                                      act_quant="dynamic")
+            print(f"int8 serving (dynamic + bias-correct): "
+                  f"mAP {bc_dyn_map:.4f}")
+            bc_map, _ = eval_int8(calib_images=calib, bias_correct=True)
+            print(f"int8 serving (static calib + bias-correct): "
+                  f"mAP {bc_map:.4f}")
             int8_serving_results.update(
                 int8_calibrated_mAP=float(cal_map),
                 int8_calibrated_delta=float(cal_map - float_eval["mAP"]),
+                int8_bias_corrected_dynamic_mAP=float(bc_dyn_map),
+                int8_bias_corrected_dynamic_delta=float(
+                    bc_dyn_map - float_eval["mAP"]),
+                int8_bias_corrected_mAP=float(bc_map),
+                int8_bias_corrected_delta=float(bc_map - float_eval["mAP"]),
                 int8_calibration_images=int(len(calib)),
             )
 
