@@ -413,6 +413,16 @@ def int8_forward(plan: Sequence[Tuple], layers, images_u8: jnp.ndarray,
         elif "w_q" in layer:
             xq, x_scale = state.quantized(layer)
             y = a(_int8_conv(xq, x_scale, layer, stride, pad))
+        elif "w_fq" in layer:
+            # QAT fake-quant path (export/qat.py): quantize-dequantize both
+            # operands with straight-through gradients, then a plain f32 conv
+            # — numerically the int8 serving conv, differentiably
+            from keras_object_detection_tpu.export.qat import (
+                fake_quant_act, fake_quant_kernel)
+            xf = fake_quant_act(state.f32(), layer.get("a_scale"))
+            y = a(_f32_conv(
+                xf, {"w": fake_quant_kernel(layer["w_fq"]),
+                     "bias": layer["bias"]}, stride, pad))
         else:
             y = a(_f32_conv(state.f32(), layer, stride, pad))
         return _XState(x=y)
@@ -690,12 +700,21 @@ class Int8InferenceModel:
     (requires calib_images) | "dynamic" | "auto" (static iff calib_images).
     ``bias_correct``: additionally fold the mean per-channel quantization
     error into each conv bias (``bias_corrected_layers``; requires
-    calib_images)."""
+    calib_images).
+
+    ``qat_steps``: > 0 runs a straight-through fake-quant distillation
+    fine-tune of the folded weights against the float network before
+    freezing to int8 (export/qat.py; requires calib_images) — the lever
+    after PTQ calibration/bias-correction. Mutually exclusive with
+    ``bias_correct`` (the distillation objective already absorbs the mean
+    quantization error QAT-side)."""
 
     def __init__(self, config: Config, params: Any, batch_stats: Any,
                  float_tail: int = 0,
                  calib_images: Optional[np.ndarray] = None,
-                 bias_correct: bool = False, act_quant: str = "auto"):
+                 bias_correct: bool = False, act_quant: str = "auto",
+                 qat_steps: int = 0, qat_lr: float = 1e-5,
+                 qat_batch: int = 8):
         self.config = config
         g = config.grid
         e = config.eval
@@ -722,13 +741,25 @@ class Int8InferenceModel:
         if act_quant not in ("static", "dynamic"):
             raise ValueError(f"act_quant {act_quant!r} not in "
                              "static|dynamic|auto")
-        if (act_quant == "static" or bias_correct) and calib_images is None:
-            raise ValueError("static act_quant / bias_correct need "
-                             "calib_images")
+        if (act_quant == "static" or bias_correct or qat_steps) \
+                and calib_images is None:
+            raise ValueError("static act_quant / bias_correct / qat_steps "
+                             "need calib_images")
+        if qat_steps and bias_correct:
+            raise ValueError("qat_steps and bias_correct are mutually "
+                             "exclusive (QAT's distillation already absorbs "
+                             "the mean quantization error)")
         scales = (calibrate_activation_scales(
             config, params, batch_stats, calib_images,
             float_tail=float_tail) if act_quant == "static" else None)
-        if bias_correct:
+        if qat_steps:
+            from keras_object_detection_tpu.export.qat import qat_finetune
+
+            plan, layers, self.qat_info = qat_finetune(
+                config, params, batch_stats, calib_images, steps=qat_steps,
+                lr=qat_lr, batch_size=qat_batch, float_tail=float_tail,
+                act_scales=scales)
+        elif bias_correct:
             plan, layers = bias_corrected_layers(
                 config, params, batch_stats, calib_images,
                 float_tail=float_tail, act_scales=scales)

@@ -46,6 +46,11 @@ def main():
                         "calibrate_activation_scales — the reference's "
                         "commented representative_dataset recipe, ref "
                         "convert_to_tflite.py:9-13, made measurable)")
+    p.add_argument("--qat", type=int, default=0, metavar="STEPS",
+                   help="with --calibrate: ALSO evaluate after a QAT "
+                        "fake-quant distillation fine-tune of this many "
+                        "steps (export/qat.py)")
+    p.add_argument("--qat-lr", type=float, default=1e-5)
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -162,6 +167,17 @@ def main():
                 int8_bias_corrected_delta=float(bc_map - float_eval["mAP"]),
                 int8_calibration_images=int(len(calib)),
             )
+            if args.qat:
+                qat_map, _ = eval_int8(calib_images=calib,
+                                       qat_steps=args.qat,
+                                       qat_lr=args.qat_lr)
+                print(f"int8 serving (static calib + QAT {args.qat} steps): "
+                      f"mAP {qat_map:.4f}")
+                int8_serving_results.update(
+                    int8_qat_mAP=float(qat_map),
+                    int8_qat_delta=float(qat_map - float_eval["mAP"]),
+                    int8_qat_steps=int(args.qat),
+                )
 
     results = {
         "float_mAP": float(float_eval["mAP"]),
