@@ -29,6 +29,32 @@ from keras_object_detection_tpu.train.loop import (TrainState, make_eval_step,
                                                    run_dataset_eval)
 
 
+def _serving_jit(fn, config: Config, mesh):
+    """jit ``fn(weights, images)`` — single-device, or batch-sharded over
+    ``mesh``'s data axis via ``shard_map`` (each chip runs the whole fused
+    program, Pallas kernels included, on its batch shard; weights are
+    replicated). Shared by the float and int8 serving models."""
+    if mesh is None:
+        return jax.jit(fn)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    da = config.mesh.data_axis
+    dp = mesh.shape[da]
+    sharded = jax.jit(shard_map(
+        fn, mesh=mesh, in_specs=(P(), P(da)), out_specs=P(da),
+        check_vma=False))
+
+    def call(weights, images):
+        if images.shape[0] % dp:
+            raise ValueError(
+                f"serving batch {images.shape[0]} must divide by the mesh "
+                f"data axis {da}={dp} (pad the batch or drop the mesh)")
+        return sharded(weights, images)
+
+    return call
+
+
 class InferenceModel:
     """Fused forward + decode (+ NMS) serving path.
 
@@ -36,9 +62,20 @@ class InferenceModel:
     (ref evaluate.py:24-28): raw grid output decoded to (batch, S*S, 6).
     ``predict`` goes further and returns NMS-filtered boxes — the full
     on-device post-processing the reference runs host-paced.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel batch
+    serving — the batch shards over the mesh's data axis and every chip
+    runs the COMPLETE fused forward+decode+NMS program on its shard
+    (``shard_map``, so the Pallas NMS kernel runs per-chip instead of
+    fighting GSPMD partitioning); weights replicate once at construction.
+    Serving is embarrassingly batch-parallel (no cross-image op anywhere in
+    the program), so throughput scales with the mesh while per-call
+    semantics stay bit-identical to single-chip. Batch sizes must divide
+    the data-axis size.
     """
 
-    def __init__(self, config: Config, params: Any, batch_stats: Any):
+    def __init__(self, config: Config, params: Any, batch_stats: Any,
+                 mesh=None):
         self.config = config
         model = build_model(config)
         g = config.grid
@@ -104,9 +141,17 @@ class InferenceModel:
             return batched_non_max_suppression(
                 boxes, e.iou_threshold, e.conf_threshold, e.max_candidates)
 
-        self._forward = jax.jit(forward)
-        self._forward_decode = jax.jit(forward_decode)
-        self._forward_decode_nms = jax.jit(forward_decode_nms)
+        self._mesh = mesh
+        if mesh is not None:
+            from keras_object_detection_tpu.parallel.mesh import (
+                replicated_sharding)
+
+            self._variables = jax.device_put(self._variables,
+                                             replicated_sharding(mesh))
+        self._forward = _serving_jit(forward, config, mesh)
+        self._forward_decode = _serving_jit(forward_decode, config, mesh)
+        self._forward_decode_nms = _serving_jit(forward_decode_nms, config,
+                                                mesh)
 
     def predict_raw(self, images_u8) -> jnp.ndarray:
         return self._forward(self._variables, jnp.asarray(images_u8))
@@ -134,6 +179,9 @@ class InferenceModel:
         """
         x = jnp.asarray(images_u8)
 
+        if staged and getattr(self, "_mesh", None) is not None:
+            raise ValueError("staged latency benchmarking is a single-device "
+                             "diagnostic; construct the model with mesh=None")
         if staged:
             from keras_object_detection_tpu.ops.pallas_nms import (
                 auto_batched_non_max_suppression as _nms)

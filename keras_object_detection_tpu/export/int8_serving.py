@@ -707,14 +707,19 @@ class Int8InferenceModel:
     freezing to int8 (export/qat.py; requires calib_images) — the lever
     after PTQ calibration/bias-correction. Mutually exclusive with
     ``bias_correct`` (the distillation objective already absorbs the mean
-    quantization error QAT-side)."""
+    quantization error QAT-side).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel batch
+    serving, same semantics as ``InferenceModel(mesh=...)`` — batch shards
+    over the data axis, each chip runs the full int8 program on its shard
+    (``shard_map``), int8 weights replicate once."""
 
     def __init__(self, config: Config, params: Any, batch_stats: Any,
                  float_tail: int = 0,
                  calib_images: Optional[np.ndarray] = None,
                  bias_correct: bool = False, act_quant: str = "auto",
                  qat_steps: int = 0, qat_lr: float = 1e-5,
-                 qat_batch: int = 8):
+                 qat_batch: int = 8, mesh=None):
         self.config = config
         g = config.grid
         e = config.eval
@@ -768,7 +773,14 @@ class Int8InferenceModel:
                                              float_tail=float_tail)
             if scales is not None:
                 layers = apply_activation_scales(layers, scales)
-        self._layers = jax.device_put(layers)
+        self._mesh = mesh
+        if mesh is not None:
+            from keras_object_detection_tpu.parallel.mesh import (
+                replicated_sharding)
+
+            self._layers = jax.device_put(layers, replicated_sharding(mesh))
+        else:
+            self._layers = jax.device_put(layers)
         activation = getattr(config.model, "activation", "relu")
         # ConvHead/PassthroughConvHead hard-code ReLU (models/yolo.py:43-44);
         # FPNHead propagates the model activation (models/yolo.py:118-125)
@@ -797,9 +809,12 @@ class Int8InferenceModel:
             return auto_batched_non_max_suppression(
                 boxes, e.iou_threshold, e.conf_threshold, e.max_candidates)
 
-        self._forward = jax.jit(forward)
-        self._forward_decode = jax.jit(forward_decode)
-        self._forward_decode_nms = jax.jit(forward_decode_nms)
+        from keras_object_detection_tpu.eval.evaluator import _serving_jit
+
+        self._forward = _serving_jit(forward, config, mesh)
+        self._forward_decode = _serving_jit(forward_decode, config, mesh)
+        self._forward_decode_nms = _serving_jit(forward_decode_nms, config,
+                                                mesh)
         # InferenceModel.benchmark_latency (borrowed below) passes
         # ``self._variables`` as the first jit argument; here that role is
         # played by the folded int8 layer list.
