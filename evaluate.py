@@ -80,6 +80,13 @@ def main():
                    help="single-image serving path: float (default), true-"
                         "int8 (BN-fold + s8 convs), or auto (measure both "
                         "at batch 1 and serve the faster)")
+    p.add_argument("--calib-images", type=int, default=0, metavar="N",
+                   help="for --serving int8/auto with --data-dir: calibrate "
+                        "static activation scales on N dataset images "
+                        "(export/int8_serving.py)")
+    p.add_argument("--qat-steps", type=int, default=0, metavar="STEPS",
+                   help="with --calib-images: QAT fake-quant distillation "
+                        "fine-tune before freezing to int8 (export/qat.py)")
     args = p.parse_args()
 
     import jax
@@ -126,8 +133,27 @@ def main():
         from keras_object_detection_tpu.export.int8_serving import (
             select_serving_model)
 
+        calib = None
+        if args.calib_images:
+            if not args.data_dir:
+                raise SystemExit("error: --calib-images needs --data-dir")
+            cal_ds = YoloDataset(args.data_dir, cfg.model.image_size,
+                                 batch_size=min(args.calib_images, 32),
+                                 max_boxes=cfg.data.max_boxes_per_image,
+                                 letterbox=cfg.data.letterbox)
+            stack = []
+            for images, _, _ in cal_ds.epoch():
+                stack.extend(images)
+                if len(stack) >= args.calib_images:
+                    break
+            calib = np.stack(stack[:args.calib_images])
+            print(f"int8 calibration set: {len(calib)} images")
+        elif args.qat_steps:
+            raise SystemExit("error: --qat-steps needs --calib-images")
         model, info = select_serving_model(cfg, params, state.batch_stats,
-                                           mode=args.serving)
+                                           mode=args.serving,
+                                           calib_images=calib,
+                                           qat_steps=args.qat_steps)
         print(f"serving path: {info}")
 
     if args.image:

@@ -856,7 +856,8 @@ class Int8InferenceModel:
 def select_serving_model(config: Config, params: Any, batch_stats: Any,
                          mode: str = "auto", probe_batch: int = 1,
                          probe_runs: int = 5,
-                         calib_images: Optional[np.ndarray] = None):
+                         calib_images: Optional[np.ndarray] = None,
+                         **int8_kwargs):
     """Pick the serving path by MEASUREMENT, not hope.
 
     Int8 must win or step aside: on the relay-attached bench chip the int8
@@ -880,14 +881,14 @@ def select_serving_model(config: Config, params: Any, batch_stats: Any,
         return InferenceModel(config, params, batch_stats), {"mode": "float"}
     if mode == "int8":
         return (Int8InferenceModel(config, params, batch_stats,
-                                   calib_images=calib_images),
+                                   calib_images=calib_images, **int8_kwargs),
                 {"mode": "int8"})
     if mode != "auto":
         raise ValueError(f"serving mode {mode!r} not in float|int8|auto")
 
     fmodel = InferenceModel(config, params, batch_stats)
     qmodel = Int8InferenceModel(config, params, batch_stats,
-                                calib_images=calib_images)
+                                calib_images=calib_images, **int8_kwargs)
     size = config.model.image_size
     probe = np.zeros((probe_batch, size, size, 3), np.uint8)
     f_p50 = fmodel.benchmark_latency(probe, runs=probe_runs)["p50_ms"]
