@@ -128,6 +128,9 @@ def main():
         raise SystemExit(f"error: {exc}")
     print(f"restored checkpoint: {info}")
     if args.serving == "float":
+        if args.calib_images or args.qat_steps:
+            raise SystemExit("error: --calib-images/--qat-steps configure "
+                             "int8 serving; add --serving int8 (or auto)")
         model = InferenceModel(cfg, params, state.batch_stats)
     else:
         from keras_object_detection_tpu.export.int8_serving import (
@@ -142,8 +145,12 @@ def main():
                                  max_boxes=cfg.data.max_boxes_per_image,
                                  letterbox=cfg.data.letterbox)
             stack = []
-            for images, _, _ in cal_ds.epoch():
-                stack.extend(images)
+            for bi, (images, _, _) in enumerate(cal_ds.epoch()):
+                # drop the zero-padded tail rows of the final short batch —
+                # black frames would skew the calibration distribution
+                real = min(len(images),
+                           cal_ds.num_examples - bi * cal_ds.batch_size)
+                stack.extend(images[:real])
                 if len(stack) >= args.calib_images:
                     break
             calib = np.stack(stack[:args.calib_images])

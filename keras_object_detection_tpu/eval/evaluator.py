@@ -86,8 +86,16 @@ class InferenceModel:
         # numpy arrays, and without this every serving call re-uploads the
         # full weight set (measured 4.9 s/call through the relay's ~73 MB/s
         # transfer path vs 25 ms with device-resident weights).
-        self._variables = jax.device_put(
-            {"params": params, "batch_stats": batch_stats})
+        if mesh is not None:
+            from keras_object_detection_tpu.parallel.mesh import (
+                replicated_sharding)
+
+            self._variables = jax.device_put(
+                {"params": params, "batch_stats": batch_stats},
+                replicated_sharding(mesh))
+        else:
+            self._variables = jax.device_put(
+                {"params": params, "batch_stats": batch_stats})
         fpn = config.model.head == "fpn"
         if fpn:
             # per-scale grid tuple out of the model; decode concatenates the
@@ -142,12 +150,6 @@ class InferenceModel:
                 boxes, e.iou_threshold, e.conf_threshold, e.max_candidates)
 
         self._mesh = mesh
-        if mesh is not None:
-            from keras_object_detection_tpu.parallel.mesh import (
-                replicated_sharding)
-
-            self._variables = jax.device_put(self._variables,
-                                             replicated_sharding(mesh))
         self._forward = _serving_jit(forward, config, mesh)
         self._forward_decode = _serving_jit(forward_decode, config, mesh)
         self._forward_decode_nms = _serving_jit(forward_decode_nms, config,

@@ -333,12 +333,16 @@ def _mk_act(name: str):
 class _XState:
     """Lazily-quantized activation: at most one of (x f32, xq int8) is
     authoritative; ``xq`` goes stale after any conv and is re-quantized only
-    when the next int8 consumer needs it."""
+    when the next int8 consumer needs it. ``fq_done`` marks a fake-quant
+    (QAT) tensor already quantize-dequantized pre-pool, so the next conv
+    must not re-quantize it (mirrors the int8 path's pool-in-int8: one
+    quantization with the PRE-pool scale)."""
 
-    __slots__ = ("x", "xq", "scale")
+    __slots__ = ("x", "xq", "scale", "fq_done")
 
-    def __init__(self, x=None, xq=None, scale=None):
+    def __init__(self, x=None, xq=None, scale=None, fq_done=False):
         self.x, self.xq, self.scale = x, xq, scale
+        self.fq_done = fq_done
 
     def f32(self):
         if self.x is None:
@@ -416,10 +420,13 @@ def int8_forward(plan: Sequence[Tuple], layers, images_u8: jnp.ndarray,
         elif "w_fq" in layer:
             # QAT fake-quant path (export/qat.py): quantize-dequantize both
             # operands with straight-through gradients, then a plain f32 conv
-            # — numerically the int8 serving conv, differentiably
+            # — numerically the int8 serving conv, differentiably. A tensor
+            # already fake-quantized pre-pool (fq_done) is consumed as-is,
+            # like the int8 path consumes its pooled xq.
             from keras_object_detection_tpu.export.qat import (
                 fake_quant_act, fake_quant_kernel)
-            xf = fake_quant_act(state.f32(), layer.get("a_scale"))
+            xf = (state.f32() if state.fq_done
+                  else fake_quant_act(state.f32(), layer.get("a_scale")))
             y = a(_f32_conv(
                 xf, {"w": fake_quant_kernel(layer["w_fq"]),
                      "bias": layer["bias"]}, stride, pad))
@@ -437,6 +444,15 @@ def int8_forward(plan: Sequence[Tuple], layers, images_u8: jnp.ndarray,
                     and li < len(layers) and "w_q" in layers[li]):
                 # entering (or inside) the int8 regime: pool in int8
                 st.quantized(layers[li])
+            if (st.xq is None and not st.fq_done and calib is None
+                    and li < len(layers) and "w_fq" in layers[li]):
+                # QAT mirror of pool-in-int8: one quantize-dequantize with
+                # the PRE-pool scale (max-pool commutes with a positive
+                # scale), marked consumed so the next conv doesn't re-quant
+                from keras_object_detection_tpu.export.qat import (
+                    fake_quant_act)
+                st = _XState(x=fake_quant_act(
+                    st.f32(), layers[li].get("a_scale")), fq_done=True)
             if st.xq is not None:
                 st.xq = lax.reduce_window(
                     st.xq, jnp.int8(-128), lax.max, (1, 2, 2, 1),
@@ -479,7 +495,8 @@ def int8_forward(plan: Sequence[Tuple], layers, images_u8: jnp.ndarray,
             if kind == "pred_emit":
                 # prediction branch off the trunk: the 2f 3x3 ConvBlock +
                 # final conv see a COPY; st (the trunk) flows on to the route
-                br = conv_step(_XState(x=st.x, xq=st.xq, scale=st.scale),
+                br = conv_step(_XState(x=st.x, xq=st.xq, scale=st.scale,
+                                       fq_done=st.fq_done),
                                1, "SAME", head_act)
             final = layers[len(layers) - _n_finals(plan) + len(outputs)]
             outputs.append(lax.conv_general_dilated(

@@ -96,7 +96,14 @@ def qat_layers(config: Config, params: Any, batch_stats: Any,
         if "w_q" not in q:
             student.append(dict(q))  # float_tail convs + f32 finals, as-is
             continue
-        s = scales.pop(0) if scales else None
+        if scales is None:
+            s = None
+        elif scales:
+            s = scales.pop(0)
+        else:
+            raise ValueError("act_scales ran out before the quantized convs "
+                             "did (layer list mismatch — was it calibrated "
+                             "with a different float_tail?)")
         if i == 0:
             s = _INPUT_SCALE
         layer = {"w_fq": f["w"], "bias": f["bias"]}
@@ -138,7 +145,9 @@ def qat_finetune(config: Config, params: Any, batch_stats: Any,
 
     ``images_u8``: (N, H, W, 3) representative batch (the same array handed
     to ``calibrate_activation_scales`` works). ``info`` records the first /
-    last distillation loss so callers can verify the fine-tune moved."""
+    last / best full-set distillation losses and the step the frozen
+    (keep-best) weights came from — ``last_loss > best_loss`` means the
+    fine-tune diverged after its best point (lower ``lr``)."""
     plan, teacher = build_int8_layers(config, params, batch_stats,
                                       float_tail=10 ** 9)
     _, student = qat_layers(config, params, batch_stats,
@@ -178,6 +187,10 @@ def qat_finetune(config: Config, params: Any, batch_stats: Any,
     order = np.random.RandomState(seed).permutation(n)
     batches = [order[i:i + batch_size]
                for i in range(0, n - batch_size + 1, batch_size)]
+    if n % batch_size:
+        # cover the remainder with a static-shape tail batch (overlaps the
+        # previous one rather than triggering a second jit shape)
+        batches.append(order[n - batch_size:])
     cached: List[Tuple[jnp.ndarray, tuple]] = []
     for idx in batches:
         imgs = jnp.asarray(images_u8[idx])
@@ -193,16 +206,20 @@ def qat_finetune(config: Config, params: Any, batch_stats: Any,
     # set) than the one PTQ would have served
     first_loss = full_loss(student)
     best_loss, best_student, best_step = first_loss, student, 0
+    last_loss = first_loss
     eval_every = max(1, steps // 8)
     for step in range(steps):
         imgs, targets = cached[step % len(cached)]
         student, opt_state, _ = train_step(student, opt_state, imgs, targets)
         if (step + 1) % eval_every == 0 or step + 1 == steps:
-            loss = full_loss(student)
-            if loss < best_loss:
-                best_loss, best_student, best_step = loss, student, step + 1
+            last_loss = full_loss(student)
+            if last_loss < best_loss:
+                best_loss, best_student, best_step = (last_loss, student,
+                                                      step + 1)
     info = {"steps": int(steps), "lr": float(lr),
             "batch_size": int(batch_size),
-            "first_loss": first_loss, "last_loss": best_loss,
+            "first_loss": first_loss,
+            "last_loss": last_loss,   # the FINAL optimizer state's loss
+            "best_loss": best_loss,   # what freeze_qat_layers receives
             "best_step": int(best_step)}
     return plan, freeze_qat_layers(best_student), info

@@ -92,7 +92,8 @@ def test_qat_finetune_reduces_distillation_loss():
     plan, layers, info = qat_finetune(cfg, params, stats, imgs, steps=40,
                                       lr=1e-4, batch_size=4)
     # keep-best over full-set evals: never worse than the PTQ init
-    assert info["last_loss"] <= info["first_loss"]
+    assert info["best_loss"] <= info["first_loss"]
+    assert info["best_step"] >= 0
     # frozen layers are true int8 serving layers
     assert any("w_q" in l for l in layers)
     y = int8_forward(plan, layers, jnp.asarray(imgs[:2]), cfg.grid.grid,
@@ -112,7 +113,7 @@ def test_qat_with_static_scales_and_fpn_head():
     plan, layers, info = qat_finetune(cfg, params, stats, imgs, steps=10,
                                       lr=1e-4, batch_size=4,
                                       act_scales=scales)
-    assert info["last_loss"] <= info["first_loss"]  # keep-best guarantee
+    assert info["best_loss"] <= info["first_loss"]  # keep-best guarantee
     outs = int8_forward(plan, layers, jnp.asarray(imgs[:2]), cfg.grid.grid,
                         "leaky_relu", head_activation="leaky_relu")
     assert isinstance(outs, tuple) and len(outs) == 2

@@ -52,6 +52,9 @@ def main():
                         "steps (export/qat.py)")
     p.add_argument("--qat-lr", type=float, default=1e-5)
     args = p.parse_args()
+    if args.qat and not args.calibrate:
+        p.error("--qat needs --calibrate N (the QAT arm fine-tunes on the "
+                "calibration images)")
 
     from keras_object_detection_tpu.utils.jax_cache import (
         enable_persistent_cache)
@@ -142,8 +145,10 @@ def main():
         }
         if args.calibrate:
             calib = []
-            for images, _, _ in ds.epoch():
-                calib.extend(images)
+            for bi, (images, _, _) in enumerate(ds.epoch()):
+                # exclude the zero-padded tail rows of the final short batch
+                real = min(len(images), ds.num_examples - bi * ds.batch_size)
+                calib.extend(images[:real])
                 if len(calib) >= args.calibrate:
                     break
             calib = np.stack(calib[:args.calibrate])
