@@ -41,6 +41,21 @@ def main():
     p.add_argument("--map-iou", type=float, default=0.5)
     p.add_argument("--avg-ckpts", type=int, default=0)
     p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--serving", choices=("float", "int8"), default="float",
+                   help="score the float InferenceModel (default) or the "
+                        "true-int8 serving path (export/int8_serving.py)")
+    p.add_argument("--calib-images", type=int, default=0, metavar="N",
+                   help="for --serving int8: static activation scales "
+                        "MSE-calibrated on N images from --data")
+    p.add_argument("--bias-correct", action="store_true",
+                   help="for --serving int8 with --calib-images: also fold "
+                        "the mean per-channel quantization error into biases")
+    p.add_argument("--qat-steps", type=int, default=0,
+                   help="for --serving int8 with --calib-images: QAT "
+                        "fake-quant distillation steps before freezing")
+    p.add_argument("--latency", action="store_true",
+                   help="also measure fused serving p50 at batch 1 and "
+                        "--batch-size on the same model")
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -70,11 +85,32 @@ def main():
     state, params, _ = load_serving_state(
         cfg, args.checkpoint_dir, avg_ckpts=args.avg_ckpts,
         use_ema=args.use_ema)
-    model = InferenceModel(cfg, params, state.batch_stats)
 
     ds = YoloDataset(args.data, cfg.model.image_size, args.batch_size,
                      max_boxes=args.max_boxes, shuffle=False,
                      drop_remainder=False, letterbox=cfg.data.letterbox)
+    if args.serving == "int8":
+        from keras_object_detection_tpu.export.int8_serving import (
+            Int8InferenceModel)
+
+        calib = None
+        if args.calib_images:
+            calib = []
+            for bi, (images, _, _) in enumerate(ds.epoch()):
+                real = min(len(images), ds.num_examples - bi * ds.batch_size)
+                calib.extend(images[:real])
+                if len(calib) >= args.calib_images:
+                    break
+            calib = np.stack(calib[:args.calib_images])
+        elif args.bias_correct or args.qat_steps:
+            raise SystemExit("error: --bias-correct/--qat-steps need "
+                             "--calib-images")
+        model = Int8InferenceModel(
+            cfg, jax.device_get(params),  # EMA-aware selection
+            jax.device_get(state.batch_stats), calib_images=calib,
+            bias_correct=args.bias_correct, qat_steps=args.qat_steps)
+    else:
+        model = InferenceModel(cfg, params, state.batch_stats)
     tb, tv, pb, pv = [], [], [], []
     seen = 0
     for images, boxes, valid in ds.epoch():
@@ -96,16 +132,30 @@ def main():
         np.concatenate(tb), np.concatenate(tv),
         np.concatenate(pb), np.concatenate(pv),
         cfg.grid.num_classes, args.map_iou))
-    print(json.dumps({
+    out = {
         "serving_mAP": round(value, 4),
         "images": ds.num_examples,
         "map_iou": args.map_iou,
+        "serving": args.serving,
         "tta": cfg.eval.tta,
         "nms_mode": cfg.eval.nms_mode,
         "conf_threshold": cfg.eval.conf_threshold,
+        "max_candidates": cfg.eval.max_candidates,
         "avg_ckpts": args.avg_ckpts,
         "use_ema": bool(args.use_ema),
-    }))
+    }
+    if args.serving == "int8":
+        out["calib_images"] = int(args.calib_images)
+        out["bias_correct"] = bool(args.bias_correct)
+        out["qat_steps"] = int(args.qat_steps)
+    if args.latency:
+        size = cfg.model.image_size
+        for b in (1, args.batch_size):
+            probe = np.zeros((b, size, size, 3), np.uint8)
+            lat = model.benchmark_latency(probe, runs=10)
+            out[f"fused_p50_ms_b{b}"] = round(lat["p50_ms"], 3)
+            out[f"fused_min_ms_b{b}"] = round(lat["min_ms"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
