@@ -117,6 +117,10 @@ def main():
                         "(0 = only once at the end)")
     p.add_argument("--map-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in the workdir "
+                        "(same mechanics as train.py --resume: epoch-"
+                        "accurate LR schedule continuation)")
     args = p.parse_args()
     plateau = None
     if args.plateau:
@@ -220,9 +224,21 @@ def main():
           f"/ val {val_ds.num_examples} images")
 
     trainer = Trainer(cfg, use_tensorboard=False)
+    state = start_epoch = None
+    if args.resume:
+        template = jax.device_get(trainer.init_state())
+        try:
+            state = trainer.ckpt.restore(template,
+                                         step=trainer.ckpt.latest_step)
+            start_epoch = trainer.ckpt.latest_epoch + 1
+            print(f"resumed from epoch {start_epoch} "
+                  f"(optimizer step {int(state.step)})")
+        except FileNotFoundError:
+            print("no checkpoint to resume from; starting fresh")
     t0 = time.time()
     state = trainer.fit(train_ds, val_ds, verbose=True,
-                        reduce_on_plateau=plateau)
+                        reduce_on_plateau=plateau, state=state,
+                        start_epoch=start_epoch)
     train_wall = time.time() - t0
 
     results = trainer.evaluate(state, val_ds)
