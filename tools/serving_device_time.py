@@ -15,10 +15,11 @@ wall-clock-only counterpart):
    per-call cost converges to max(device_time, per-dispatch submit cost) —
    an upper bound on device time that a throughput-oriented client actually
    achieves.
-3. ``trace_device_ms`` — jax.profiler trace parsed from the xplane proto
-   (TensorFlow's xplane_pb2): the sum of device-plane op durations divided
-   by the number of traced calls — the ground-truth on-device busy time.
-   Recorded as null if the xplane tooling is unavailable.
+3. ``trace_device_ms`` — jax.profiler trace parsed via xprof's trace_viewer
+   converter (utils/profiling.py): the "XLA Modules" device lane (one
+   non-overlapping event per executed program) divided by the number of
+   traced calls — the ground-truth on-device busy time. Recorded as null
+   if the xplane tooling is unavailable.
 
 Also times the Pallas NMS kernel standalone (ops/pallas_nms.py) the same
 three ways, and records ``cost_analysis`` FLOPs for the fused program.
@@ -36,7 +37,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import glob
 import json
 import tempfile
 import time
@@ -44,78 +44,40 @@ import time
 
 def _trace_device_ms(run, n_calls: int) -> dict:
     """Run ``run()`` ``n_calls`` times under a jax.profiler trace and return
-    per-call device-plane busy time, parsed from the xplane proto via
-    xprof's trace_viewer converter (the profiler's own tooling — no
-    tensorflow xplane_pb2 needed)."""
-    import jax
+    per-call device busy time (utils/profiling.py parses the xplane protos
+    via xprof's trace_viewer converter)."""
+    from keras_object_detection_tpu.utils.profiling import (
+        device_lane_ms, trace, traced_events)
 
     out = {"trace_device_ms": None, "trace_note": None}
-    try:
-        from xprof.convert import raw_to_tool_data as r2t
-    except Exception as e:  # xprof absent -> decomposition 1+2 only
-        out["trace_note"] = f"xprof converter unavailable: {e!r}"
-        return out
     with tempfile.TemporaryDirectory() as td:
-        jax.profiler.start_trace(td)
-        for _ in range(n_calls):
-            run()
-        jax.profiler.stop_trace()
-        paths = glob.glob(os.path.join(td, "**", "*.xplane.pb"),
-                          recursive=True)
-        if not paths:
-            out["trace_note"] = "no xplane.pb produced"
-            return out
+        with trace(td):
+            for _ in range(n_calls):
+                run()
         try:
-            data, _mime = r2t.xspace_to_tool_data(paths, "trace_viewer", {})
-        except Exception as e:
-            out["trace_note"] = f"xspace_to_tool_data failed: {e!r}"
+            events = traced_events(td)
+        except RuntimeError as e:  # xprof absent -> decomposition 1+2 only
+            out["trace_note"] = str(e)
             return out
-        if isinstance(data, bytes):
-            data = data.decode()
-        events = json.loads(data).get("traceEvents", [])
-        # pid -> process name from metadata events; device pids are the
-        # accelerator planes ("/device:TPU:0 ..." / "TPU core"), never the
-        # python/host threads
-        pnames = {e["pid"]: str(e.get("args", {}).get("name", ""))
-                  for e in events if e.get("ph") == "M"
-                  and e.get("name") == "process_name"}
-        tnames = {(e["pid"], e.get("tid")):
-                  str(e.get("args", {}).get("name", ""))
-                  for e in events if e.get("ph") == "M"
-                  and e.get("name") == "thread_name"}
-        dev_pids = {pid for pid, name in pnames.items()
-                    if ("tpu" in name.lower() or "device" in name.lower())
-                    and "host" not in name.lower()}
-        # one busy-time sum per (pid, tid) lane; report the busiest lane to
-        # avoid double-counting nested module/op rows
-        lanes = {}
-        for e in events:
-            if (e.get("ph") == "X" and e.get("pid") in dev_pids
-                    and e.get("dur")):
-                key = (e["pid"], e.get("tid"))
-                lanes[key] = lanes.get(key, 0.0) + float(e["dur"])
+        lanes = device_lane_ms(events)
         if not lanes:
-            out["trace_note"] = ("no device lane events; planes: "
-                                 f"{sorted(set(pnames.values()))}")
+            out["trace_note"] = "no device lane events in trace"
             return out
         # Prefer the "XLA Modules" lane: one non-overlapping event per
         # executed program, so its sum IS device busy time. Other lanes
         # (e.g. "Framework Name Scope") stack nested events and summing
         # them double-counts — observed 44.8 ms/call on a program whose
         # wall p50 was 33 ms.
-        mod = [k for k in lanes
-               if "xla modules" in str(tnames.get(k, "")).lower()]
+        mod = [k for k in lanes if "xla modules" in k.lower()]
         key = max(mod, key=lanes.get) if mod else max(lanes, key=lanes.get)
-        out["trace_device_ms"] = round(lanes[key] / 1e3 / n_calls, 4)
+        out["trace_device_ms"] = round(lanes[key] / n_calls, 4)
         out["trace_note"] = (
-            f"device lane {pnames.get(key[0], '?')}/"
-            f"{tnames.get(key, key[1])!r} over {n_calls} calls; "
+            f"device lane {key!r} over {n_calls} calls; "
             f"all lanes ms/call: "
             + json.dumps({
-                f"{pnames.get(p, p)}/{tnames.get((p, t), t)}":
-                round(v / 1e3 / n_calls, 4)
-                for (p, t), v in sorted(lanes.items(),
-                                        key=lambda kv: -kv[1])[:6]}))
+                k: round(v / n_calls, 4)
+                for k, v in sorted(lanes.items(),
+                                   key=lambda kv: -kv[1])[:6]}))
     return out
 
 
