@@ -86,8 +86,10 @@ class ModelConfig:
     # "dots" = save conv/matmul outputs, recompute only elementwise chains
     # (BN normalize / ReLU / pool) — cheaper recompute, less HBM saved.
     remat_policy: str = "full"
-    # Path to a Keras .h5 (full model or weights) with pretrained backbone
-    # weights, converted via models/pretrained.py (ref model.py:178
+    # Path to pretrained backbone weights, converted at init: a Keras .h5
+    # (full model or weights) for vgg16/mobilenetv2, or an original darknet
+    # .weights/.conv.NN file for darknet backbones
+    # (models/pretrained.py + models/darknet_import.py; ref model.py:178
     # weights='imagenet'); "" = random init (ref uses weights=None for MNv2).
     pretrained_backbone: str = ""
     # Train with the backbone frozen (ref yolo_v1.py:819-820 trainable knob);

@@ -177,9 +177,25 @@ def load_pretrained_backbone(variables: Dict[str, Any], backbone: str,
     Keras weights (ref model.py:178 ``weights='imagenet'`` parity).
 
     ``variables`` is the full model's ``{"params": ..., "batch_stats": ...}``;
-    ``source`` is a Keras model or an .h5 path. Shapes are validated leaf by
-    leaf against the initialized tree.
+    ``source`` is a Keras model or an .h5 path — or, for darknet backbones,
+    an original darknet ``.weights`` / ``.conv.NN`` file
+    (models/darknet_import.py), so ``--pretrained-backbone`` covers the
+    official ImageNet backbones of all three families. Shapes are validated
+    leaf by leaf against the initialized tree.
     """
+    if backbone.startswith("darknet"):
+        from keras_object_detection_tpu.models.darknet_import import (
+            load_darknet_backbone)
+
+        out = dict(variables)
+        params, stats, info = load_darknet_backbone(
+            dict(out["params"]), dict(out.get("batch_stats", {})),
+            source)
+        print(f"darknet import: {info['loaded_convs']}/"
+              f"{info['total_convs']} convs from {source} "
+              f"(version {info['version']}, seen {info['seen']})")
+        out["params"], out["batch_stats"] = params, stats
+        return out
     if backbone not in _CONVERTERS:
         raise ValueError(
             f"no pretrained converter for backbone {backbone!r}; "

@@ -52,9 +52,10 @@ def parse_args():
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
-    p.add_argument("--pretrained-backbone", metavar="H5_PATH",
-                   help="Keras .h5 with pretrained backbone weights "
-                        "(vgg16/mobilenetv2), converted at init")
+    p.add_argument("--pretrained-backbone", metavar="PATH",
+                   help="pretrained backbone weights, converted at init: "
+                        "Keras .h5 (vgg16/mobilenetv2) or original darknet "
+                        ".weights/.conv.NN (darknet backbones)")
     p.add_argument("--freeze-backbone", action="store_true",
                    help="train with the backbone frozen")
     p.add_argument("--data-parallel", type=int, default=-1,
