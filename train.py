@@ -26,10 +26,15 @@ def parse_args():
     p.add_argument("--train-dir")
     p.add_argument("--val-dir")
     p.add_argument("--test-dir")
-    p.add_argument("--preset", choices=["tiny", "voc"], default="voc")
+    p.add_argument("--preset", choices=["tiny", "voc", "yolov3"],
+                   default="voc",
+                   help="base config: tiny (CPU-runnable), voc (448 "
+                        "Darknet-24 v1 flagship), yolov3 (416 Darknet-53 "
+                        "3-scale FPN, paper anchors)")
     p.add_argument("--backbone",
-                   choices=["darknet24", "darknet19", "darknet_tiny",
-                            "darknet_micro", "vgg16", "mobilenetv2"])
+                   choices=["darknet24", "darknet19", "darknet53",
+                            "darknet_tiny", "darknet_micro", "vgg16",
+                            "mobilenetv2"])
     p.add_argument("--head",
                    choices=["conv", "gap_dense", "flatten_dense", "anchor",
                             "fpn"])
@@ -116,7 +121,9 @@ def parse_args():
 def build_config(args):
     from keras_object_detection_tpu import config as cfglib
 
-    cfg = cfglib.tiny_cpu_config() if args.preset == "tiny" else cfglib.voc_full_config()
+    cfg = {"tiny": cfglib.tiny_cpu_config,
+           "voc": cfglib.voc_full_config,
+           "yolov3": cfglib.yolov3_config}[args.preset]()
 
     def over(obj, **kw):
         kw = {k: v for k, v in kw.items() if v is not None}
