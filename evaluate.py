@@ -61,11 +61,12 @@ def main():
                         "to the mean, ref utils.py:455-456)")
     p.add_argument("--use-ema", action="store_true",
                    help="serve the EMA parameters when the checkpoint has them")
-    p.add_argument("--nms-mode", choices=("hard", "soft_gaussian", "soft_linear"),
+    p.add_argument("--nms-mode", choices=("hard", "soft_gaussian", "soft_linear", "fast"),
                    default=None,
                    help="override EvalConfig.nms_mode for serving: hard = "
                         "the reference's greedy NMS; soft_* = Soft-NMS "
-                        "(confidence decay instead of deletion)")
+                        "(confidence decay instead of deletion); fast = "
+                        "one-shot matrix NMS (YOLACT), no sequential loop")
     p.add_argument("--soft-nms-sigma", type=float, default=None,
                    help="gaussian Soft-NMS decay scale (EvalConfig.soft_nms_sigma)")
     p.add_argument("--avg-ckpts", type=int, metavar="K", default=0,

@@ -323,9 +323,13 @@ class EvalConfig:
     # Serving-path NMS flavor. "hard" = the reference's greedy suppression
     # (ref utils.py:79-149, bit-parity default). "soft_gaussian"/"soft_linear"
     # = class-aware Soft-NMS (ops/nms.py soft_non_max_suppression): overlaps
-    # get confidence-decayed instead of deleted — opt-in, beyond parity.
-    # Applies to InferenceModel serving only; the mAP accumulator keeps the
-    # reference's hard NMS for metric parity.
+    # get confidence-decayed instead of deleted. "fast" = one-shot matrix
+    # NMS (YOLACT arXiv:1904.02689 §3.5, ops/nms.py fast_non_max_suppression):
+    # no sequential suppression chain — one (N, N) reduction instead of the
+    # N-iteration greedy loop, at the cost of slight over-suppression (kept
+    # set is a subset of greedy's). Both opt-in, beyond parity. Applies to
+    # InferenceModel serving only; the mAP accumulator keeps the reference's
+    # hard NMS for metric parity.
     nms_mode: str = "hard"
     soft_nms_sigma: float = 0.5  # gaussian decay scale
     # Opt-in de-biasing of non-divisible eval sets: weight out the zero-padded

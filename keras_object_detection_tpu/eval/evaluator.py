@@ -137,12 +137,16 @@ class InferenceModel:
 
         def forward_decode_nms(variables, images_u8):
             boxes = forward_decode(variables, images_u8)
-            if e.nms_mode != "hard":  # opt-in Soft-NMS serving
+            if e.nms_mode != "hard":  # opt-in Soft-/Fast-NMS serving
                 from keras_object_detection_tpu.ops.nms import (
+                    batched_fast_non_max_suppression,
                     batched_soft_non_max_suppression, top_k_candidates)
 
                 if e.max_candidates and boxes.shape[1] > e.max_candidates:
                     boxes = top_k_candidates(boxes, e.max_candidates)
+                if e.nms_mode == "fast":
+                    return batched_fast_non_max_suppression(
+                        boxes, e.iou_threshold, e.conf_threshold)
                 return batched_soft_non_max_suppression(
                     boxes, e.iou_threshold, e.conf_threshold,
                     e.soft_nms_sigma, e.nms_mode.removeprefix("soft_"))
@@ -192,17 +196,20 @@ class InferenceModel:
             decode = jax.jit(self._decode)  # head-aware (v1 or anchor)
             if e.nms_mode != "hard":  # keep staged/fused variants comparable
                 from keras_object_detection_tpu.ops.nms import (
+                    batched_fast_non_max_suppression as _fast,
                     batched_soft_non_max_suppression as _soft,
                     top_k_candidates as _topk)
 
-                def _soft_nms(b):
+                def _alt_nms(b):
                     if e.max_candidates and b.shape[1] > e.max_candidates:
                         b = _topk(b, e.max_candidates)
+                    if e.nms_mode == "fast":
+                        return _fast(b, e.iou_threshold, e.conf_threshold)
                     return _soft(b, e.iou_threshold, e.conf_threshold,
                                  e.soft_nms_sigma,
                                  e.nms_mode.removeprefix("soft_"))
 
-                nms = jax.jit(_soft_nms)
+                nms = jax.jit(_alt_nms)
             else:
                 nms = jax.jit(
                     lambda b: _nms(b, e.iou_threshold, e.conf_threshold,

@@ -1,5 +1,7 @@
 from keras_object_detection_tpu.ops.nms import (  # noqa: F401
+    batched_fast_non_max_suppression,
     batched_non_max_suppression,
+    fast_non_max_suppression,
     non_max_suppression,
 )
 from keras_object_detection_tpu.ops.map import (  # noqa: F401

@@ -66,9 +66,41 @@ def _draw_shape(img, cls, cx, cy, w, h, rng):
                     0, 0, 360, color, -1)
 
 
+def _draw_distractor(img, rng):
+    """Unlabeled clutter that must NOT be detected: desaturated gray/brown
+    strokes and outlines (never a filled saturated class shape)."""
+    size = img.shape[0]
+    tone = int(rng.randint(40, 220))
+    color = (tone + rng.randint(-15, 16), tone + rng.randint(-15, 16),
+             tone + rng.randint(-15, 16))
+    color = tuple(int(np.clip(c, 0, 255)) for c in color)
+    kind = rng.randint(3)
+    if kind == 0:  # line segment
+        p0 = tuple(rng.randint(0, size, 2).tolist())
+        p1 = tuple(rng.randint(0, size, 2).tolist())
+        cv2.line(img, p0, p1, color, rng.randint(1, 4))
+    elif kind == 1:  # hollow rectangle
+        x0, y0 = rng.randint(0, size - 8, 2)
+        x1 = x0 + rng.randint(6, max(7, size // 3))
+        y1 = y0 + rng.randint(6, max(7, size // 3))
+        cv2.rectangle(img, (x0, y0), (min(x1, size - 1), min(y1, size - 1)),
+                      color, rng.randint(1, 3))
+    else:  # hollow circle
+        c = tuple(rng.randint(8, size - 8, 2).tolist())
+        cv2.circle(img, c, int(rng.randint(4, max(5, size // 6))), color,
+                   rng.randint(1, 3))
+
+
 def make_split(dirpath: str, n: int, rng: np.random.RandomState,
                num_classes: int = 20, image_size: int = 224,
-               max_objects: int = 4) -> None:
+               max_objects: int = 4, min_obj: float = 0.12,
+               max_obj: float = 0.45, distractors: int = 0,
+               occlusion: bool = False) -> None:
+    """``occlusion=True`` relaxes the anti-overlap rule (reject only when a
+    new CENTER falls inside an earlier box of similar size) so crowded
+    same-class groups occur; ``distractors`` adds that many unlabeled
+    clutter strokes per image; ``min_obj``/``max_obj`` bound object widths
+    as image fractions (the hard preset pushes these small)."""
     os.makedirs(dirpath, exist_ok=True)
     for i in range(n):
         # textured background: low-contrast noise + a soft gradient
@@ -78,18 +110,30 @@ def make_split(dirpath: str, n: int, rng: np.random.RandomState,
         gx = np.linspace(0, rng.randint(-30, 30), image_size)[None, :, None]
         img = np.clip(img.astype(np.int32) + gx.astype(np.int32), 0, 255
                       ).astype(np.uint8)
+        for _ in range(distractors):
+            _draw_distractor(img, rng)
         lines = []
         placed = []
-        for _ in range(rng.randint(1, max_objects + 1)):
+        # draw big -> small so later (smaller) objects occlude less area and
+        # every labeled object keeps its top surface visible
+        sizes = sorted((rng.uniform(min_obj, max_obj)
+                        for _ in range(rng.randint(1, max_objects + 1))),
+                       reverse=True)
+        for w in sizes:
             cls = rng.randint(num_classes)
-            w = rng.uniform(0.12, 0.45)
-            h = w * rng.uniform(0.7, 1.4)
-            h = min(h, 0.9)
+            h = min(w * rng.uniform(0.7, 1.4), 0.9)
             cx = rng.uniform(w / 2 + 0.02, 1 - w / 2 - 0.02)
             cy = rng.uniform(h / 2 + 0.02, 1 - h / 2 - 0.02)
-            # limit occlusion: skip if center falls inside an earlier box
-            if any(abs(cx - px) < pw / 2 and abs(cy - py) < ph / 2
-                   for px, py, pw, ph in placed):
+            if occlusion:
+                # only reject near-coincident duplicates (center inside an
+                # earlier box AND comparable size) — partial overlap stays
+                clash = any(abs(cx - px) < pw / 4 and abs(cy - py) < ph / 4
+                            and 0.5 < w / pw < 2.0
+                            for px, py, pw, ph in placed)
+            else:
+                clash = any(abs(cx - px) < pw / 2 and abs(cy - py) < ph / 2
+                            for px, py, pw, ph in placed)
+            if clash:
                 continue
             _draw_shape(img, cls, cx, cy, w, h, rng)
             placed.append((cx, cy, w, h))
@@ -109,14 +153,32 @@ def main():
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-objects", type=int, default=4)
+    p.add_argument("--min-obj", type=float, default=0.12,
+                   help="min object width as an image fraction")
+    p.add_argument("--max-obj", type=float, default=0.45)
+    p.add_argument("--distractors", type=int, default=0,
+                   help="unlabeled clutter strokes per image")
+    p.add_argument("--occlusion", action="store_true",
+                   help="allow partial overlap between labeled objects")
+    p.add_argument("--hard", action="store_true",
+                   help="preset: the saturation-breaking benchmark variant "
+                        "(small objects 0.04-0.28, up to 10 per image, 6 "
+                        "distractors, occlusion on) — the 0.993-mAP round-4 "
+                        "result needs a harder target to keep a signal")
     args = p.parse_args()
+    if args.hard:
+        args.max_objects, args.min_obj, args.max_obj = 10, 0.04, 0.28
+        args.distractors, args.occlusion = 6, True
     if cv2 is None:
         raise SystemExit("cv2 required")
     rng = np.random.RandomState(args.seed)
-    make_split(os.path.join(args.out, "train"), args.train, rng,
-               args.num_classes, args.image_size)
-    make_split(os.path.join(args.out, "val"), args.val, rng,
-               args.num_classes, args.image_size)
+    kw = dict(num_classes=args.num_classes, image_size=args.image_size,
+              max_objects=args.max_objects, min_obj=args.min_obj,
+              max_obj=args.max_obj, distractors=args.distractors,
+              occlusion=args.occlusion)
+    make_split(os.path.join(args.out, "train"), args.train, rng, **kw)
+    make_split(os.path.join(args.out, "val"), args.val, rng, **kw)
     names = os.path.join(args.out, "synth.names")
     with open(names, "w") as f:
         f.write("\n".join(class_name(c) for c in range(args.num_classes)))

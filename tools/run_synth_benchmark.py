@@ -116,6 +116,10 @@ def main():
                    help="epoch after which periodic mAP eval starts "
                         "(0 = only once at the end)")
     p.add_argument("--map-every", type=int, default=50)
+    p.add_argument("--max-boxes", type=int, default=8,
+                   help="static per-image GT padding bound (raise for the "
+                        "--hard dataset's crowded images; changes compiled "
+                        "step shapes)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest checkpoint in the workdir "
@@ -172,7 +176,8 @@ def main():
         data=DataConfig(
             train_dir=os.path.join(args.data, "train"),
             val_dir=os.path.join(args.data, "val"),
-            batch_size=args.batch_size, max_boxes_per_image=8,
+            batch_size=args.batch_size,
+            max_boxes_per_image=args.max_boxes,
             cache_in_memory=True, device_cache=args.device_cache,
             train_decode_size=args.decode_size,
             mosaic_prob=args.mosaic, mixup_prob=args.mixup),
@@ -216,10 +221,10 @@ def main():
     train_ds = YoloDataset(cfg.data.train_dir,
                            cfg.data.train_input_size(
                                max(args.image_size, ms_max)),
-                           args.batch_size, max_boxes=8, shuffle=True,
+                           args.batch_size, max_boxes=args.max_boxes, shuffle=True,
                            seed=args.seed, cache_in_memory=True)
     val_ds = YoloDataset(cfg.data.val_dir, args.image_size, args.batch_size,
-                         max_boxes=8, cache_in_memory=True)
+                         max_boxes=args.max_boxes, cache_in_memory=True)
     print(f"devices: {jax.devices()}; train {train_ds.num_examples} "
           f"/ val {val_ds.num_examples} images")
 

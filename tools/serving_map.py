@@ -35,7 +35,7 @@ def main():
     p.add_argument("--max-boxes", type=int, default=32)
     p.add_argument("--tta", choices=("none", "hflip"), default=None)
     p.add_argument("--nms-mode",
-                   choices=("hard", "soft_gaussian", "soft_linear"),
+                   choices=("hard", "soft_gaussian", "soft_linear", "fast"),
                    default=None)
     p.add_argument("--conf-threshold", type=float, default=None)
     p.add_argument("--map-iou", type=float, default=0.5)
