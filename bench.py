@@ -76,16 +76,22 @@ def main():
     latb = infer.benchmark_latency(np.asarray(images), runs=10)
     eval_ips = batch / (latb["p50_ms"] / 1000.0) / n_chips
 
-    # --- Pallas NMS kernel p50 (the BASELINE "p50 NMS latency" metric) ------
+    # --- NMS p50 (the BASELINE "p50 NMS latency" metric): the measured-best
+    # auto path — round 4's sweep found the XLA fori_loop formulation beats
+    # the Pallas kernel at every (batch, N) point on this chip, so auto now
+    # routes there (ops/pallas_nms.py auto_batched_non_max_suppression;
+    # KOT_NMS_IMPL=pallas re-measures the kernel) ----------------------------
     from keras_object_detection_tpu.ops.pallas_nms import (
-        pallas_batched_non_max_suppression)
+        auto_batched_non_max_suppression)
 
+    nms_jit = jax.jit(
+        lambda b: auto_batched_non_max_suppression(b, 0.5, 0.4))
     dec = infer.predict_decoded(np.asarray(images))
-    jax.block_until_ready(pallas_batched_non_max_suppression(dec))
+    jax.block_until_ready(nms_jit(dec))
     nms_times = []
     for _ in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(pallas_batched_non_max_suppression(dec))
+        jax.block_until_ready(nms_jit(dec))
         nms_times.append((time.perf_counter() - t0) * 1000)
     nms_times.sort()
     nms_p50 = nms_times[len(nms_times) // 2]

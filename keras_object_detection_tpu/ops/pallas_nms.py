@@ -26,6 +26,7 @@ Off-TPU the kernel runs in interpreter mode (tests), selected automatically.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -174,24 +175,35 @@ PALLAS_NMS_MAX_N = 512
 def auto_batched_non_max_suppression(boxes, iou_threshold=0.5,
                                      conf_threshold=0.4,
                                      max_candidates=0):
-    """Best NMS for the current backend and size: the fused Pallas kernel on
-    TPU for candidate sets that fit its VMEM budget (measured 476 ms ->
-    ~32 ms per call for batch 64 on v5e through this environment's dispatch
-    relay — the kernel's device time itself is microsecond-scale, so the
-    end-to-end call is RTT-bound), the XLA version elsewhere (CPU/GPU, or
-    N > PALLAS_NMS_MAX_N).
+    """Measured-best NMS for the current backend and size — identical
+    outputs on every path.
+
+    Default: the XLA fori_loop formulation (ops/nms.py). A round-4
+    same-harness sweep (batch ∈ {1, 8, 32}, N ∈ {49, 98, 245, 512},
+    async-pipelined per-call time on v5e) measured it faster than the
+    Pallas kernel at EVERY point — 1.2-1.9 ms vs the kernel's 3-10.8 ms at
+    batch 32, and a profiler trace pins the kernel's device time at 9.78 ms
+    for 32x512 (benchmarks/serving_device_time.json): the kernel serializes
+    the whole greedy scan in ONE core's VMEM, while XLA pipelines the
+    per-iteration vector work across the batch. Earlier rounds' "RTT-bound,
+    device time microsecond-scale" claim was a serial-dispatch measurement
+    that the relay's ~25 ms RTT masked. The kernel stays available
+    (``KOT_NMS_IMPL=pallas``, candidate sets <= PALLAS_NMS_MAX_N) as a
+    bit-parity-tested alternate for future hardware, mirroring the BN-stats
+    convention (ROADMAP.md).
 
     ``max_candidates > 0`` first compacts oversized candidate sets to the
     top-K by confidence (ops/nms.py top_k_candidates — exact whenever the
     above-threshold survivors fit in K). This is how the multi-scale FPN
-    family's 10,647-candidate decode at 416² stays O(K²) instead of O(N²)
-    AND re-enters the Pallas kernel's VMEM budget."""
+    family's 10,647-candidate decode at 416² stays O(K²) instead of
+    O(N²)."""
     if max_candidates and boxes.shape[1] > max_candidates:
         from keras_object_detection_tpu.ops.nms import top_k_candidates
 
         boxes = top_k_candidates(boxes, int(max_candidates))
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and boxes.shape[1] <= PALLAS_NMS_MAX_N:
+    if (os.environ.get("KOT_NMS_IMPL", "xla") == "pallas" and on_tpu
+            and boxes.shape[1] <= PALLAS_NMS_MAX_N):
         return pallas_batched_non_max_suppression(
             boxes, iou_threshold, conf_threshold)
     from keras_object_detection_tpu.ops.nms import batched_non_max_suppression
