@@ -25,6 +25,23 @@ from keras_object_detection_tpu.utils.jax_cache import enable_persistent_cache
 enable_persistent_cache()
 
 
+def _pipelined_ms(run_async, readback, k: int = 32) -> float:
+    """Per-call time with K async dispatches and ONE value-readback sync:
+    dispatch overlaps device work, so this converges to
+    max(device_time, per-dispatch submit cost) — an upper bound on on-device
+    time that a throughput client actually achieves, free of the ~25 ms
+    relay RTT that dominates serial p50 in this environment (the same
+    decomposition tools/serving_device_time.py records; its profiler-trace
+    lane independently confirms the pipelined number)."""
+    readback(run_async())  # warmup (already compiled by callers)
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(k):
+        last = run_async()
+    readback(last)
+    return (time.perf_counter() - t0) * 1000 / k
+
+
 def main():
     import dataclasses
 
@@ -76,6 +93,16 @@ def main():
     latb = infer.benchmark_latency(np.asarray(images), runs=10)
     eval_ips = batch / (latb["p50_ms"] / 1000.0) / n_chips
 
+    # device-time lanes (round-4 verdict: wall p50 here is the ~25 ms relay
+    # RTT floor, not the machine — record the pipelined per-call time, which
+    # tracks benchmarks/serving_device_time.json's trace-verified numbers)
+    x1, xb = jnp.asarray(images[:1]), images
+    rb = lambda out: np.asarray(out[-1])
+    dev1 = _pipelined_ms(
+        lambda: infer._forward_decode_nms(infer._variables, x1), rb)
+    devb = _pipelined_ms(
+        lambda: infer._forward_decode_nms(infer._variables, xb), rb)
+
     # --- NMS p50 (the BASELINE "p50 NMS latency" metric): the measured-best
     # auto path — round 4's sweep found the XLA fori_loop formulation beats
     # the Pallas kernel at every (batch, N) point on this chip, so auto now
@@ -95,6 +122,51 @@ def main():
         nms_times.append((time.perf_counter() - t0) * 1000)
     nms_times.sort()
     nms_p50 = nms_times[len(nms_times) // 2]
+    nms_dev = _pipelined_ms(lambda: nms_jit(dec),
+                            lambda out: np.asarray(out)[:1, :1])
+
+    # --- FPN lane (darknet53 3-scale FPN @416, the quality-champion family:
+    # round-4 val mAP 0.993) — train-step throughput + fused serving with
+    # the top-K candidate compaction (10,647 -> 512), KOT_BENCH_FPN=0 skips.
+    fpn_extras = {}
+    if os.environ.get("KOT_BENCH_FPN", "1") == "1":
+        from keras_object_detection_tpu.config import yolov3_config
+
+        fcfg = yolov3_config()
+        fcfg = dataclasses.replace(
+            fcfg,
+            data=dataclasses.replace(fcfg.data, batch_size=batch),
+            eval=dataclasses.replace(fcfg.eval, conf_threshold=0.25,
+                                     max_candidates=512))
+        fsize = fcfg.model.image_size
+        fimages = jnp.asarray(rng.randint(
+            0, 255, size=(batch, fsize, fsize, 3), dtype=np.uint8))
+        fstate = create_train_state(fcfg, jax.random.PRNGKey(0))
+        fstep = jax.jit(make_train_step(fcfg), donate_argnums=(0,))
+        for _ in range(2):
+            fstate, fmetrics = fstep(fstate, fimages, boxes, valid, key)
+        float(fmetrics["total"])
+        fsteps = max(steps // 2, 5)
+        t0 = time.perf_counter()
+        for _ in range(fsteps):
+            fstate, fmetrics = fstep(fstate, fimages, boxes, valid, key)
+        float(fmetrics["total"])
+        fpn_train_ips = fsteps * batch / (time.perf_counter() - t0) / n_chips
+
+        finfer = InferenceModel(fcfg, fstate.params, fstate.batch_stats)
+        fx1, fxb = fimages[:1], fimages
+        flat1 = finfer.benchmark_latency(np.asarray(fx1), runs=10)
+        fdev1 = _pipelined_ms(
+            lambda: finfer._forward_decode_nms(finfer._variables, fx1), rb)
+        fdevb = _pipelined_ms(
+            lambda: finfer._forward_decode_nms(finfer._variables, fxb), rb)
+        fpn_extras = {
+            "fpn416_train_ips": round(fpn_train_ips, 2),
+            "fpn416_serve_p50_ms_batch1": round(flat1["p50_ms"], 3),
+            "fpn416_serve_device_ms_batch1": round(fdev1, 3),
+            "fpn416_serve_device_ms_batch": round(fdevb, 3),
+            "fpn416_serve_ips_device": round(batch / (fdevb / 1000.0), 1),
+        }
 
     # --- mAP metric micro-bench (8 synthetic images, C=20 — identical
     # workload to the recorded reference measurement) ------------------------
@@ -153,14 +225,19 @@ def main():
             "eval_images_per_sec_per_chip": round(eval_ips, 2),
             "eval_p50_ms_batch1": round(lat1["p50_ms"], 3),
             "eval_p50_ms_batch": round(latb["p50_ms"], 3),
+            "eval_device_ms_batch1": round(dev1, 3),
+            "eval_device_ms_batch": round(devb, 3),
+            "eval_ips_device": round(batch / (devb / 1000.0), 1),
             "eval_vs_baseline": round(
                 baseline["eval_p50_ms_batch1"] / lat1["p50_ms"], 1),
             "nms_p50_ms_batch": round(nms_p50, 4),
+            "nms_device_ms_batch": round(nms_dev, 4),
             "map_metric_ms": round(map_ms, 2),
             "map_metric_value": round(float(map_val), 4),
             "map_metric_vs_baseline": round(
                 baseline["map_metric_ms_8imgs_c20"] / max(map_ms, 1e-6), 1),
             "baseline": baseline["description"][:80],
+            **fpn_extras,
             **int8_extras,
         },
     }

@@ -292,6 +292,20 @@ class TrainConfig:
     ema_decay: Optional[float] = None
     # When EMA is on, run validation/eval with the averaged params.
     eval_with_ema: bool = True
+    # Train steps executed per host dispatch when the dataset is
+    # device_cache-resident: K > 1 runs K steps in ONE jitted call via
+    # lax.scan over the epoch's batch-index rows (RNG folds in state.step
+    # inside the step, so the stream and batch order are identical to the
+    # per-step path; the scan body may fuse differently, giving the same
+    # float-drift class as DP-vs-single-device); -1 scans the WHOLE epoch
+    # in one dispatch. Removes the per-step host dispatch/relay round trip,
+    # which dominates the gap between end-to-end epoch throughput and the
+    # device step rate on relay-attached chips. 1 = per-step dispatch
+    # (default). Validation is chunked the same way (loss-only scan every
+    # epoch; the rarer mAP epochs re-run the per-step pass with the
+    # accumulator inline — same forwards, same values). Requires
+    # DataConfig.device_cache.
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

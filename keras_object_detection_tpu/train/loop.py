@@ -717,6 +717,67 @@ class Trainer:
             out["val_mAP"] = map_val
         return out
 
+    def _cached_eval_scan_jit(self, dev, spd: int):
+        """Jitted loss-only validation over a DeviceCachedDataset: ``spd``
+        eval batches per dispatch via ``lax.scan`` over batch-index rows
+        (TrainConfig.steps_per_dispatch). Returns the summed loss only —
+        y_true/y_pred never leave the scan, so there is nothing to stash;
+        mAP epochs re-run the per-step pass (``_run_validation_cached``
+        with ``with_map=True``) instead."""
+        key = ("eval_scan", id(dev), spd)
+        if key not in self._cached_jits:
+            gather = dev.make_gather(self._batch_sharding)
+            eval_fn = self._eval_step_fn
+            mask = self.config.eval.mask_padded_images
+            n = dev.num_examples
+
+            def _eval_scan(state, imgs, bxs, vld, idx_mat):
+                def body(total, idx):
+                    ib, bb, vb = gather(imgs, bxs, vld, idx)
+                    weight = (idx < n) if mask else None
+                    loss, _, _ = eval_fn(state, ib, bb, vb, weight)
+                    return total + loss, None
+
+                total, _ = jax.lax.scan(
+                    body, jnp.zeros((), jnp.float32), idx_mat)
+                return total
+
+            self._cached_jits[key] = jax.jit(
+                _eval_scan, out_shardings=self._replicated)
+        return self._cached_jits[key]
+
+    def _run_validation_scanned(self, state: TrainState, dev,
+                                spd: int) -> Dict[str, float]:
+        """Loss-only validation in ceil(batches/spd) dispatches instead of
+        one per batch. Bit-identical loss to ``_run_validation_cached``
+        (same gather + eval step, float32 accumulation in batch order)."""
+        mask = self.config.eval.mask_padded_images
+        rows = list(dev.epoch_indices())
+        spd = len(rows) if spd == -1 else min(spd, len(rows))
+        total = jnp.zeros((), jnp.float32)
+        scan_jit = self._cached_eval_scan_jit(dev, spd)
+        n_chunks = len(rows) // spd
+        for c in range(n_chunks):
+            idx_mat = jnp.asarray(np.stack(rows[c * spd:(c + 1) * spd]))
+            total = total + scan_jit(state, dev.images, dev.boxes,
+                                     dev.valid, idx_mat)
+        rest = rows[n_chunks * spd:]
+        if rest:
+            eval_cached = self._cached_eval_jit(dev)
+            for idx in rest:
+                weight = (jnp.asarray(idx < dev.num_examples)
+                          if mask else None)
+                loss, _, _ = eval_cached(state, dev.images, dev.boxes,
+                                         dev.valid, jnp.asarray(idx), weight)
+                total = total + loss
+        batches = len(rows)
+        if mask:
+            n_evaluated = min(dev.num_examples, batches * dev.batch_size)
+            loss = float(total) * dev.batch_size / max(n_evaluated, 1)
+        else:
+            loss = float(total) / max(batches, 1)
+        return {"val_loss": loss}
+
     def _map_from_stash(self, stash) -> float:
         """Run the mAP accumulator over predictions stashed by a loss pass —
         the second half of the single-pass validation (no new forwards)."""
@@ -797,6 +858,7 @@ class Trainer:
         lrs = epoch_schedule(cfg.train.schedule, epoch_offset + epochs)
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
+        spd_cfg = getattr(cfg.train, "steps_per_dispatch", 1) or 1
         best = float("inf")
         # Best value actually ON DISK — kept separately from `best` (the
         # early-stop/plateau monitor): with save_cooldown_epochs > 0 an
@@ -820,29 +882,73 @@ class Trainer:
             nb = 0
             ms_size = self._epoch_size(epoch)
             if dev_train is not None:
-                key = ("train", id(dev_train), ms_size)
-                if key not in self._cached_jits:
-                    gather = dev_train.make_gather(self._batch_sharding)
-                    fn = self._step_fn_for(ms_size)
-                    out_sh = state_sharding(self.mesh, state,
-                                            self.config.mesh.model_axis)
+                rows = list(dev_train.epoch_indices())
+                spd = len(rows) if spd_cfg == -1 else min(spd_cfg, len(rows))
+                if spd > 1:
+                    # Scan-dispatch path: K train steps per jitted call via
+                    # lax.scan over batch-index rows. The step folds the RNG
+                    # with state.step internally, so the stream and batch
+                    # order are identical to the per-step path; the scan body
+                    # may fuse differently than the top-level jit, giving
+                    # low-bit gradient drift that Adam's normalization
+                    # amplifies to O(lr) — the same float-drift class as the
+                    # DP-vs-single-device path (test_train.py tolerances).
+                    # Host dispatch count drops nb -> ceil(nb/K).
+                    key = ("train_scan", id(dev_train), ms_size, spd)
+                    if key not in self._cached_jits:
+                        gather = dev_train.make_gather(self._batch_sharding)
+                        fn = self._step_fn_for(ms_size)
+                        out_sh = state_sharding(self.mesh, state,
+                                                self.config.mesh.model_axis)
 
-                    def _train_cached(state, imgs, bxs, vld, idx, rng,
-                                      gather=gather, fn=fn):
-                        ib, bb, vb = gather(imgs, bxs, vld, idx)
-                        return fn(state, ib, bb, vb, rng)
+                        def _train_scan(state, imgs, bxs, vld, idx_mat, rng,
+                                        gather=gather, fn=fn):
+                            def body(st, idx):
+                                ib, bb, vb = gather(imgs, bxs, vld, idx)
+                                return fn(st, ib, bb, vb, rng)
 
-                    self._cached_jits[key] = jax.jit(
-                        _train_cached, donate_argnums=(0,),
-                        out_shardings=(out_sh, self._replicated))
-                train_step_cached = self._cached_jits[key]
-                for idx in dev_train.epoch_indices():
-                    state, metrics = train_step_cached(
-                        state, dev_train.images, dev_train.boxes,
-                        dev_train.valid, jnp.asarray(idx), rng)
-                    nb += 1
-                    for k, v in metrics.items():
-                        acc[k] = v if k not in acc else acc[k] + v
+                            state, ms = jax.lax.scan(body, state, idx_mat)
+                            return state, jax.tree_util.tree_map(
+                                lambda a: jnp.sum(a, axis=0), ms)
+
+                        self._cached_jits[key] = jax.jit(
+                            _train_scan, donate_argnums=(0,),
+                            out_shardings=(out_sh, self._replicated))
+                    scan_jit = self._cached_jits[key]
+                    for c in range(len(rows) // spd):
+                        idx_mat = jnp.asarray(
+                            np.stack(rows[c * spd:(c + 1) * spd]))
+                        state, metrics = scan_jit(
+                            state, dev_train.images, dev_train.boxes,
+                            dev_train.valid, idx_mat, rng)
+                        nb += spd
+                        for k, v in metrics.items():
+                            acc[k] = v if k not in acc else acc[k] + v
+                    rows = rows[(len(rows) // spd) * spd:]
+                if rows:  # per-step dispatch (spd == 1, or scan remainder)
+                    key = ("train", id(dev_train), ms_size)
+                    if key not in self._cached_jits:
+                        gather = dev_train.make_gather(self._batch_sharding)
+                        fn = self._step_fn_for(ms_size)
+                        out_sh = state_sharding(self.mesh, state,
+                                                self.config.mesh.model_axis)
+
+                        def _train_cached(state, imgs, bxs, vld, idx, rng,
+                                          gather=gather, fn=fn):
+                            ib, bb, vb = gather(imgs, bxs, vld, idx)
+                            return fn(state, ib, bb, vb, rng)
+
+                        self._cached_jits[key] = jax.jit(
+                            _train_cached, donate_argnums=(0,),
+                            out_shardings=(out_sh, self._replicated))
+                    train_step_cached = self._cached_jits[key]
+                    for idx in rows:
+                        state, metrics = train_step_cached(
+                            state, dev_train.images, dev_train.boxes,
+                            dev_train.valid, jnp.asarray(idx), rng)
+                        nb += 1
+                        for k, v in metrics.items():
+                            acc[k] = v if k not in acc else acc[k] + v
             else:
                 for images, boxes, valid in train_ds.prefetched(
                         self._batch_sharding):
@@ -851,6 +957,7 @@ class Trainer:
                     nb += 1
                     for k, v in metrics.items():
                         acc[k] = v if k not in acc else acc[k] + v
+            acc = jax.device_get(acc)  # ONE sync/readback for all metrics
             train_metrics = {k: float(v) / max(nb, 1) for k, v in acc.items()}
             if ms_size is not None:
                 train_metrics["train_size"] = ms_size
@@ -868,15 +975,27 @@ class Trainer:
                 # mAP accumulator from the stash instead of re-running the
                 # whole forward pass (the round-2 behavior).
                 maybe_map = (epoch + 1) > cfg.train.map_eval_start_epoch
-                stash = [] if maybe_map else None
-                val = (self._run_validation_cached(state, dev_val,
-                                                   with_map=False, stash=stash)
-                       if dev_val is not None else
-                       self._run_validation(state, val_ds, with_map=False,
-                                            stash=stash))
+                use_val_scan = dev_val is not None and spd_cfg != 1
+                stash = [] if (maybe_map and not use_val_scan) else None
+                if use_val_scan:
+                    # scan-dispatch mode: loss-only scan every epoch; the
+                    # (rarer) mAP epochs re-run the per-step pass with the
+                    # accumulator inline — same forwards, same result.
+                    val = self._run_validation_scanned(state, dev_val,
+                                                       spd_cfg)
+                else:
+                    val = (self._run_validation_cached(
+                               state, dev_val, with_map=False, stash=stash)
+                           if dev_val is not None else
+                           self._run_validation(state, val_ds, with_map=False,
+                                                stash=stash))
                 improved = val["val_loss"] < best
                 if self._should_eval_map(epoch, improved):
-                    val["val_mAP"] = self._map_from_stash(stash)
+                    if use_val_scan:
+                        val["val_mAP"] = self._run_validation_cached(
+                            state, dev_val, with_map=True)["val_mAP"]
+                    else:
+                        val["val_mAP"] = self._map_from_stash(stash)
                     if cfg.eval.coco_map:
                         val.update(self._coco_map_logs())
                 logs.update(val)
