@@ -123,7 +123,7 @@ def main():
     nms_times.sort()
     nms_p50 = nms_times[len(nms_times) // 2]
     nms_dev = _pipelined_ms(lambda: nms_jit(dec),
-                            lambda out: np.asarray(out)[:1, :1])
+                            lambda out: np.asarray(out[-1]))
 
     # --- FPN lane (darknet53 3-scale FPN @416, the quality-champion family:
     # round-4 val mAP 0.993) — train-step throughput + fused serving with

@@ -862,12 +862,14 @@ class Int8InferenceModel:
         return {"quantized_bytes": qbytes, "float_bytes": fbytes}
 
     def benchmark_latency(self, images_u8, runs: int = 5,
-                          staged: bool = False) -> Dict[str, float]:
+                          staged: bool = False,
+                          pipeline_k: int = 0) -> Dict[str, float]:
         """Shared timing harness (value-readback sync; see InferenceModel)."""
         from keras_object_detection_tpu.eval.evaluator import InferenceModel
 
         return InferenceModel.benchmark_latency(self, images_u8, runs=runs,
-                                                staged=staged)
+                                                staged=staged,
+                                                pipeline_k=pipeline_k)
 
 
 def select_serving_model(config: Config, params: Any, batch_stats: Any,

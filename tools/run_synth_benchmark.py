@@ -260,7 +260,7 @@ def main():
     # checkpoint mAP consistently — final-epoch numbers are not comparable
     # across runs whose epoch counts end in different cosine-restart phases).
     log_path = os.path.join(args.workdir, "logs", "train.jsonl")
-    peak, peak_epoch, epoch_times = None, None, []
+    peak, peak_epoch, epoch_times, decomp = None, None, [], []
     if os.path.exists(log_path):
         for line in open(log_path):
             try:
@@ -270,8 +270,12 @@ def main():
             if "val_mAP" in rec and (peak is None or rec["val_mAP"] > peak):
                 peak, peak_epoch = rec["val_mAP"], rec["step"]
             elif "epoch_time_s" in rec:
-                # non-mAP epochs only: steady-state step+val time
-                epoch_times.append(rec["epoch_time_s"])
+                # non-mAP epochs only: steady-state train + val wall
+                # (wall_s = full epoch incl. validation/save/bookkeeping;
+                # older logs only carry the train phase epoch_time_s)
+                epoch_times.append(rec.get("wall_s", rec["epoch_time_s"]))
+                decomp.append((rec["epoch_time_s"], rec.get("val_s", 0.0),
+                               rec.get("save_s", 0.0)))
     if peak is not None:
         results["val_mAP_peak"] = round(float(peak), 5)
         results["val_mAP_peak_epoch"] = int(peak_epoch)
@@ -281,6 +285,13 @@ def main():
         results["steady_state_epoch_s_p50"] = round(p50, 3)
         results["steady_state_images_per_s"] = round(
             train_ds.num_examples / p50, 1)
+        tail = decomp[-60:]
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        results["epoch_decomposition_p50_s"] = {
+            "train": round(med([d[0] for d in tail]), 3),
+            "val": round(med([d[1] for d in tail]), 3),
+            "save": round(med([d[2] for d in tail]), 3),
+        }
 
     # The checkpoint on disk is the best-by-val_loss state: evaluate IT (the
     # state a deployment would actually serve), not just the final epoch.
