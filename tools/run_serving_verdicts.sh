@@ -25,15 +25,28 @@ ABORT=/tmp/queue_abort
 rm -f "$ABORT"
 echo "serving-verdicts pid $$"
 
-stage() {
-  name=$1; shift
+run_stage() {
+  name=$1; script=$2; shift 2
   if [ -e "$ABORT" ]; then echo "ABORTED before $name"; exit 1; fi
   echo "=== STAGE $name start $(date +%T) ==="
   start=$(date +%s)
   stdbuf -oL -eL timeout 2400 \
-    python tools/serving_map.py "$@" > "/tmp/serve_$name.log" 2>&1
+    python "$script" "$@" > "/tmp/serve_$name.log" 2>&1
   echo "=== STAGE $name done rc=$? in $(( $(date +%s) - start ))s ==="
 }
+stage() { name=$1; shift; run_stage "$name" tools/serving_map.py "$@"; }
+
+# --- champion quality on non-saturating metrics ----------------------------
+# mAP@0.5 saturates even on hard data for this family (round-5 pilot); the
+# discriminative lanes are localization precision: mAP@0.75 and COCO
+# mAP@[.50:.95], plus TIDE error decomposition + per-class AP.
+stage champ_map75 --checkpoint-dir "$FPN_CKPT" --data /tmp/synth448h/val \
+  --batch-size 32 --max-boxes 16 --use-ema --map-iou 0.75
+run_stage champ_coco evaluate.py --checkpoint-dir "$FPN_CKPT" \
+  --data-dir /tmp/synth448h/val --coco-map --use-ema
+run_stage champ_tide evaluate.py --checkpoint-dir "$FPN_CKPT" \
+  --data-dir /tmp/synth448h/val --error-analysis --per-class-ap --use-ema \
+  --names /tmp/synth448h/synth.names
 
 # --- NMS-mode verdict: fpn416 hard champion, batch 32, EMA params ----------
 NMSCOMMON="--checkpoint-dir $FPN_CKPT --batch-size 32 --max-boxes 16 --use-ema --latency"
