@@ -68,7 +68,8 @@ def _oracle_map(gts, dets, num_classes, iou_th=0.5):
         tpc, fpc = np.cumsum(tp), np.cumsum(fp)
         rec = np.concatenate([[0.0], tpc / (total_true + eps)])
         prec = np.concatenate([[1.0], tpc / (tpc + fpc + eps)])
-        aps.append(float(np.trapz(prec, rec)))
+        trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
+        aps.append(float(trapz(prec, rec)))
     return float(np.mean(aps))
 
 
