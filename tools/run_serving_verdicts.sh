@@ -68,10 +68,10 @@ done
 # dynamic scales = per-image activation ranges computed on device;
 # static  scales = MSE-calibrated compile-time constants (the only reason to
 # want them is latency — measure whether they actually buy any).
-I8FPN="--checkpoint-dir $FPN_CKPT --data /tmp/synth448h/val --batch-size 32 --max-boxes 16 --use-ema --serving int8 --latency"
+I8FPN="--checkpoint-dir $FPN_CKPT --data /tmp/synth448h/val --batch-size 32 --max-boxes 16 --use-ema --serving int8 --latency 32"
 stage int8_fpn_dynamic $I8FPN
 stage int8_fpn_static  $I8FPN --calib-images 64
-I8FLAG="--checkpoint-dir $FLAG_CKPT --data /tmp/synth448h/val --batch-size 32 --max-boxes 16 --use-ema --serving int8 --latency"
+I8FLAG="--checkpoint-dir $FLAG_CKPT --data /tmp/synth448h/val --batch-size 32 --max-boxes 16 --use-ema --serving int8 --latency 32"
 stage int8_flag_dynamic $I8FLAG
 stage int8_flag_static  $I8FLAG --calib-images 64
 # float reference rows for the same checkpoints/data (latency + mAP anchor)

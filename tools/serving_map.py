@@ -53,9 +53,12 @@ def main():
     p.add_argument("--qat-steps", type=int, default=0,
                    help="for --serving int8 with --calib-images: QAT "
                         "fake-quant distillation steps before freezing")
-    p.add_argument("--latency", action="store_true",
-                   help="also measure fused serving p50 at batch 1 and "
-                        "--batch-size on the same model")
+    p.add_argument("--latency", nargs="?", const="", default=None,
+                   metavar="BATCHES",
+                   help="also measure fused serving p50 + pipelined device "
+                        "time on the same model; bare flag = batch 1 and "
+                        "--batch-size, or a comma list (e.g. --latency 32) "
+                        "to skip compiles for sizes you don't need")
     args = p.parse_args()
 
     from keras_object_detection_tpu.utils.jax_cache import (
@@ -148,9 +151,11 @@ def main():
         out["calib_images"] = int(args.calib_images)
         out["bias_correct"] = bool(args.bias_correct)
         out["qat_steps"] = int(args.qat_steps)
-    if args.latency:
+    if args.latency is not None:
         size = cfg.model.image_size
-        for b in (1, args.batch_size):
+        lat_batches = ([int(x) for x in args.latency.split(",")]
+                       if args.latency else [1, args.batch_size])
+        for b in lat_batches:
             probe = np.zeros((b, size, size, 3), np.uint8)
             lat = model.benchmark_latency(probe, runs=10, pipeline_k=32)
             out[f"fused_p50_ms_b{b}"] = round(lat["p50_ms"], 3)
