@@ -36,15 +36,6 @@ run_stage() {
 }
 stage() { name=$1; shift; run_stage "$name" tools/serving_map.py "$@"; }
 
-# --- per-step device breakdowns for the EXACT trained configs --------------
-# (max-boxes 16 + hard mosaic make the step costlier than the round-4
-# breakdowns measured at max-boxes 8 — these pin the device-step rate that
-# the epoch-wall decomposition is judged against, r4 verdict weak #2)
-run_stage bkdn_fpn tools/train_step_breakdown.py --checkpoint "$FPN_CKPT" \
-  --out benchmarks/train_step_breakdown_fpn416_hard.json
-run_stage bkdn_flag tools/train_step_breakdown.py --checkpoint "$FLAG_CKPT" \
-  --out benchmarks/train_step_breakdown_flagship448_hard.json
-
 # --- champion quality on non-saturating metrics ----------------------------
 # mAP@0.5 saturates even on hard data for this family (round-5 pilot); the
 # discriminative lanes are localization precision: mAP@0.75 and COCO
@@ -79,5 +70,14 @@ stage float_fpn  --checkpoint-dir "$FPN_CKPT" --data /tmp/synth448h/val \
   --batch-size 32 --max-boxes 16 --use-ema --latency
 stage float_flag --checkpoint-dir "$FLAG_CKPT" --data /tmp/synth448h/val \
   --batch-size 32 --max-boxes 16 --use-ema --latency
+
+# --- per-step device breakdowns for the EXACT trained configs --------------
+# (max-boxes 16 + hard mosaic make the step costlier than the round-4
+# breakdowns measured at max-boxes 8 — these pin the device-step rate that
+# the epoch-wall decomposition is judged against, r4 verdict weak #2)
+run_stage bkdn_fpn tools/train_step_breakdown.py --checkpoint "$FPN_CKPT" --scan 16 \
+  --out benchmarks/train_step_breakdown_fpn416_hard.json
+run_stage bkdn_flag tools/train_step_breakdown.py --checkpoint "$FLAG_CKPT" --scan 16 \
+  --out benchmarks/train_step_breakdown_flagship448_hard.json
 
 echo ALL_SERVING_STAGES_DONE

@@ -46,6 +46,12 @@ def main():
                    help="traced steps (after 3 warmup steps)")
     p.add_argument("--timed-steps", type=int, default=20,
                    help="untraced steps for the wall-clock p50")
+    p.add_argument("--scan", type=int, default=0, metavar="K",
+                   help="ALSO profile the scan-dispatch program (K steps per "
+                        "dispatch via lax.scan over batch-index rows, the "
+                        "TrainConfig.steps_per_dispatch structure) and report "
+                        "its per-step device time next to the bare step's — "
+                        "decomposes scan overhead from per-step config cost")
     p.add_argument("--out", default=None,
                    help="output JSON (default: print only)")
     args = p.parse_args()
@@ -137,9 +143,70 @@ def main():
             {"name": o["name"], "ms": round(o["ms"] / n, 4),
              "count_per_step": o["count"] // n} for o in bd["top_ops"]],
     }
+    if args.scan:
+        # Scan-dispatch twin: the Trainer's steps_per_dispatch structure
+        # (train/loop.py _train_scan) — K (gather -> step) iterations per
+        # jitted call via lax.scan over batch-index rows, metrics summed.
+        # Same step fn, same batch content each iteration (identity gather
+        # from a device-resident pool), so per-step device time differences
+        # vs the bare step above are the scan program's own cost.
+        import jax.numpy as jnp
+
+        K = args.scan
+        fn = make_train_step(cfg)
+
+        def scan_fn(st, imgs, bxs, vld, idx_mat, k):
+            def body(s, idx):
+                return fn(s, imgs[idx], bxs[idx], vld[idx], k)
+
+            st, ms = jax.lax.scan(body, st, idx_mat)
+            return st, jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0),
+                                              ms)
+
+        scan_jit = jax.jit(scan_fn, donate_argnums=(0,))
+        idx_mat = jnp.asarray(
+            np.tile(np.arange(batch, dtype=np.int32), (K, 1)))
+        sstate = create_train_state(cfg, jax.random.PRNGKey(0))
+        for _ in range(2):
+            sstate, sm = scan_jit(sstate, images, boxes, valid, idx_mat, key)
+        float(sm["total"])
+        stimes = []
+        for _ in range(max(args.timed_steps // K, 3)):
+            t0 = time.perf_counter()
+            sstate, sm = scan_jit(sstate, images, boxes, valid, idx_mat, key)
+            float(sm["total"])
+            stimes.append((time.perf_counter() - t0) * 1000)
+        stimes.sort()
+        n_disp = max(args.steps // K, 2)
+        with tempfile.TemporaryDirectory() as td:
+            with trace(td):
+                for _ in range(n_disp):
+                    sstate, sm = scan_jit(sstate, images, boxes, valid,
+                                          idx_mat, key)
+                    float(sm["total"])
+            sevents = traced_events(td)
+        slanes = device_lane_ms(sevents)
+        smod = max((v for k, v in slanes.items()
+                    if "xla modules" in k.lower()), default=0.0)
+        sbd = op_breakdown(sevents)
+        nsteps = n_disp * K
+        result["scan_dispatch"] = {
+            "steps_per_dispatch": K,
+            "wall_p50_ms_per_step": round(
+                stimes[len(stimes) // 2] / K, 3),
+            "device_ms_per_step": round(smod / nsteps, 3),
+            "vs_bare_step_device": round(
+                (smod / nsteps) / max(modules_ms / n, 1e-9), 3),
+            "categories_ms_per_step": {
+                k: round(v / nsteps, 3)
+                for k, v in sbd["categories"].items()},
+        }
+
     print(json.dumps({k: result[k] for k in (
         "wall_p50_ms", "device_ms_per_step", "images_per_s_device",
-        "categories_ms_per_step")}, indent=2))
+        "categories_ms_per_step") if k in result}
+        | ({"scan_dispatch": result["scan_dispatch"]}
+           if args.scan else {}), indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
